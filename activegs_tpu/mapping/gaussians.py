@@ -1,0 +1,319 @@
+"""Gaussian-surfel map: fixed-capacity SoA store + spawn/prune/confidence.
+
+TPU-native re-design of `mapping/gaussian_map.py`: instead of a mutable
+object whose tensors grow and shrink (`gaussian_map.py:410-468,234-246`),
+the map is a static-capacity pytree (`GaussianMapState`) with a live-prefix
+invariant — gaussians [0, count) are alive — so every consumer jit-compiles
+once. Spawn appends into the prefix with masked scatters; prune compacts
+with one stable sort. All semantics (activations, spawn masks, confidence
+statistics, prune rule) match the reference, with `file:line` citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..core import image_ops
+from ..core import quaternions as quat
+from ..render.renderer import render_view
+from ..render.types import Camera, GaussianAttrs, RasterConfig
+
+# pre-activation third scale: exp(-20) * scale_factor ~ 2e-11 m — the surfel
+# "flat" axis, mirroring the reference's -1e10 logit (`gaussian_map.py:372-373`)
+FLAT_SCALE_RAW = -20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Static map configuration (`config/mapper/incremental.yaml:10-32`)."""
+
+    capacity: int = 1 << 19
+    bound: tuple[float, float] = (0.001, 10.0)  # scene near/far
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    error_thres: float = 0.25
+    scale_factor: float = 0.01
+    scale_max: float = 0.05  # clamp at 5 cm (`gaussian_map.py:538-541`)
+    optimization_steps: int = 10
+    prune_interval: int = 5
+    prune_opacity: float = 0.1
+    use_view_distribution: bool = True
+    spawn_voxel_size: float = 0.02  # dedup voxel (`operations.py:603-625`)
+    batch_size: int = 8
+    active_size: int = 3
+    mean_lr: float = 5e-4
+    rotation_lr: float = 5e-4
+    opacity_lr: float = 1e-2
+    scale_lr: float = 1e-2
+    harmonic_lr: float = 1e-4
+    bilateral_radius: int = 7
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GaussianMapState:
+    """Raw (pre-activation) parameters + confidence statistics + live count.
+
+    Mirrors `_means/_scales/_rotations/_opacities/_harmonics` and
+    `view_scores/view_supports/view_means` (`gaussian_map.py:22-31`)."""
+
+    means: jnp.ndarray  # (CAP, 3)
+    scales_raw: jnp.ndarray  # (CAP, 3) log-scale
+    rotations_raw: jnp.ndarray  # (CAP, 4)
+    opacities_raw: jnp.ndarray  # (CAP,) logit
+    colors: jnp.ndarray  # (CAP, 3) SH0 passthrough (`_harmonics[:,0,:]`)
+    view_scores: jnp.ndarray  # (CAP,)
+    view_supports: jnp.ndarray  # (CAP,)
+    view_means: jnp.ndarray  # (CAP, 3) running mean view direction
+    count: jnp.ndarray  # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def alive(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.count
+
+
+def init_state(cfg: MapConfig) -> GaussianMapState:
+    cap = cfg.capacity
+    z = jnp.zeros
+    q0 = jnp.concatenate([jnp.ones((cap, 1)), jnp.zeros((cap, 3))], axis=1)
+    return GaussianMapState(
+        means=z((cap, 3)),
+        scales_raw=z((cap, 3)),
+        rotations_raw=q0,
+        opacities_raw=z((cap,)),
+        colors=z((cap, 3)),
+        view_scores=z((cap,)),
+        view_supports=z((cap,)),
+        view_means=z((cap, 3)),
+        count=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# activations (`gaussian_map.py:53-60,529-571`)
+# ---------------------------------------------------------------------------
+
+
+def activate_scales(scales_raw: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    return jnp.clip(cfg.scale_factor * jnp.exp(scales_raw), 0.0, cfg.scale_max)
+
+
+def confidences_of(state: GaussianMapState, cfg: MapConfig) -> jnp.ndarray:
+    """`get_confidences` (`gaussian_map.py:552-565`): view-distribution
+    variance factor x accumulated view score, clamped to [0, 1]; ablation
+    variant 1 - exp(-supports)."""
+    if cfg.use_view_distribution:
+        view_var = jnp.linalg.norm(state.view_means, axis=-1)
+        view_var = jnp.where(jnp.isnan(view_var), 1.0, view_var)
+        factor = jnp.exp(1.0 - view_var)
+        return jnp.clip(factor * state.view_scores, 0.0, 1.0)
+    return jnp.clip(1.0 - jnp.exp(-state.view_supports), 0.0, 1.0)
+
+
+def normals_of(state: GaussianMapState) -> jnp.ndarray:
+    """World normals = third column of R(q) (`gaussian_map.py:567-571`)."""
+    q = quat.normalize(state.rotations_raw)
+    return quat.quaternion_to_matrix(q)[..., :, 2]
+
+
+def attrs_of(state: GaussianMapState, cfg: MapConfig) -> GaussianAttrs:
+    """Activated attribute view — the analog of `get_attr()`
+    (`gaussian_map.py:573-581`). Confidences are detached (non-trainable,
+    composited like a color channel)."""
+    return GaussianAttrs(
+        means=state.means,
+        scales=activate_scales(state.scales_raw, cfg),
+        rotations=quat.normalize(state.rotations_raw),
+        opacities=jax.nn.sigmoid(state.opacities_raw),
+        colors=state.colors,
+        confidences=jax.lax.stop_gradient(confidences_of(state, cfg)),
+        valid=state.alive,
+    )
+
+
+# ---------------------------------------------------------------------------
+# spawn (`GaussianMap.add_gaussians`, `gaussian_map.py:294-468`)
+# ---------------------------------------------------------------------------
+
+
+def _voxel_dedup_mask(points: jnp.ndarray, select: jnp.ndarray, voxel: float):
+    """Keep at most one selected point per voxel (`voxel_downsample`,
+    `operations.py:603-625`; deterministic first-in-hash-order rather than
+    the reference's random pick). Returns a boolean mask over points."""
+    n = points.shape[0]
+    ids = jnp.floor(points / voxel).astype(jnp.int32)
+    h = (
+        ids[:, 0] * jnp.int32(73856093)
+        ^ ids[:, 1] * jnp.int32(19349663)
+        ^ ids[:, 2] * jnp.int32(83492791)
+    ).astype(jnp.uint32)
+    key = jnp.where(select, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    first = first & (sorted_key != jnp.uint32(0xFFFFFFFF))
+    keep = jnp.zeros((n,), bool).at[order].set(first)
+    return keep & select
+
+
+def spawn(
+    state: GaussianMapState,
+    frame: dict,
+    cfg: MapConfig,
+    raster_cfg: RasterConfig,
+):
+    """Spawn new surfels from a posed RGB-D frame.
+
+    Reference recipe (`gaussian_map.py:294-468`): bilateral-smooth depth for
+    normal estimation, back-project valid pixels, reject back-facing normals
+    (cos > -0.01), render the current map to keep only pixels with high rgb
+    error / low opacity / occluded predicted depth (`cal_mask`,
+    `gaussian_map.py:470-489`), 2 cm voxel dedup, then append with opacity
+    logit 0, flat third scale, and normal-aligned quaternions.
+
+    The is-initialized branch of the reference is subsumed: an empty map
+    renders opacity 0, which makes the spawn mask all-true.
+    """
+    rgb = frame["rgb"]  # (3, H, W)
+    depth = frame["depth"]  # (1, H, W)
+    extrinsic = frame["extrinsic"]
+    intrinsic = frame["intrinsic"]
+    _, h, w = rgb.shape
+
+    valid = (depth[0] > 0.0).reshape(-1)
+    depth_smooth = image_ops.bilateral_filter(depth[0], radius=cfg.bilateral_radius)
+    normals_cam = image_ops.depth_to_normal(
+        depth_smooth, (depth[0] > 0.0), intrinsic
+    ).reshape(-1, 3)
+    valid &= jnp.sum(normals_cam**2, axis=-1) > 0.0
+    normals_world = geo.apply_rotation(extrinsic[:3, :3], normals_cam)
+
+    coords = geo.pixel_grid(h, w).reshape(-1, 2)
+    origins, dirs = geo.get_world_rays(coords, extrinsic, intrinsic)
+    points = origins + dirs * depth[0].reshape(-1, 1)
+    dirs_n = quat.normalize(dirs)
+    valid &= jnp.sum(dirs_n * normals_world, axis=-1) < -0.01  # camera-facing
+
+    # error mask from the current rendering (`cal_mask`)
+    cam = Camera(extrinsic=extrinsic, intrinsic=intrinsic)
+    pred, _ = render_view(
+        jax.lax.stop_gradient(attrs_of(state, cfg)),
+        cam,
+        (h, w),
+        raster_cfg,
+        background=jnp.asarray(cfg.background),
+    )
+    rgb_err = jnp.mean((rgb - jax.lax.stop_gradient(pred.rgb)) ** 2, axis=0)
+    need = rgb_err > cfg.error_thres
+    need |= pred.opacity[0] < 0.5
+    need |= (depth[0] - pred.depth[0]) < -0.05 * depth[0]
+    select = valid & need.reshape(-1)
+
+    keep = _voxel_dedup_mask(points, select, cfg.spawn_voxel_size)
+
+    q_new, _ = quat.normal_to_quaternion(normals_world)
+    keep &= jnp.all(jnp.isfinite(q_new), axis=-1)  # (`gaussian_map.py:389-390`)
+
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep, state.count + rank, state.capacity).astype(jnp.int32)
+    n_new = jnp.minimum(jnp.sum(keep), state.capacity - state.count).astype(jnp.int32)
+
+    colors_new = rgb.reshape(3, -1).T
+    scales_new = jnp.concatenate(
+        [
+            jnp.zeros((points.shape[0], 2)),
+            jnp.full((points.shape[0], 1), FLAT_SCALE_RAW),
+        ],
+        axis=1,
+    )
+
+    new_state = GaussianMapState(
+        means=state.means.at[slot].set(points, mode="drop"),
+        scales_raw=state.scales_raw.at[slot].set(scales_new, mode="drop"),
+        rotations_raw=state.rotations_raw.at[slot].set(q_new, mode="drop"),
+        opacities_raw=state.opacities_raw.at[slot].set(0.0, mode="drop"),
+        colors=state.colors.at[slot].set(colors_new, mode="drop"),
+        view_scores=state.view_scores.at[slot].set(0.0, mode="drop"),
+        view_supports=state.view_supports.at[slot].set(0.0, mode="drop"),
+        view_means=state.view_means.at[slot].set(0.0, mode="drop"),
+        count=state.count + n_new,
+    )
+    return new_state, n_new
+
+
+# ---------------------------------------------------------------------------
+# confidence statistics + prune (`post_processing`, `gaussian_map.py:141-246`)
+# ---------------------------------------------------------------------------
+
+
+def update_confidence(
+    state: GaussianMapState,
+    cfg: MapConfig,
+    cam_pos: jnp.ndarray,
+    depth_far: jnp.ndarray,
+    visible_count: jnp.ndarray,
+) -> GaussianMapState:
+    """Welford-style view statistics for the latest view
+    (`gaussian_map.py:194-226`): supports += visible; running mean of unit
+    view directions; view_scores += (1 - d/d_max) * max(0, n . v)."""
+    update = (visible_count >= 1) & state.alive
+    supports = state.view_supports + update.astype(jnp.float32)
+
+    view_dirs = cam_pos[None, :] - state.means
+    dist = jnp.linalg.norm(view_dirs, axis=-1)
+    view_dirs = view_dirs / jnp.maximum(dist[:, None], 1e-12)
+
+    delta = view_dirs - state.view_means
+    view_means = jnp.where(
+        update[:, None],
+        state.view_means + delta / jnp.maximum(supports[:, None], 1.0),
+        state.view_means,
+    )
+
+    cos = jnp.clip(jnp.sum(normals_of(state) * view_dirs, axis=-1), 0.0, 1.0)
+    dist_factor = jnp.clip(dist / depth_far, 0.0, 1.0)
+    scores = jnp.where(
+        update, state.view_scores + (1.0 - dist_factor) * cos, state.view_scores
+    )
+    if not cfg.use_view_distribution:
+        view_means = state.view_means
+        scores = state.view_scores
+    return dataclasses.replace(
+        state, view_supports=supports, view_means=view_means, view_scores=scores
+    )
+
+
+def prune(state: GaussianMapState, cfg: MapConfig, visible_any: jnp.ndarray):
+    """Remove gaussians invisible to every training view or with opacity
+    < 0.1 (`gaussian_map.py:228-246`), then compact the live prefix with one
+    stable sort. Returns (new_state, n_pruned)."""
+    opac = jax.nn.sigmoid(state.opacities_raw)
+    keep = state.alive & visible_any & (opac >= cfg.prune_opacity)
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+    perm = jnp.argsort(~keep, stable=True)  # keepers first, order preserved
+
+    def permute(x):
+        return x[perm]
+
+    new_state = GaussianMapState(
+        means=permute(state.means),
+        scales_raw=permute(state.scales_raw),
+        rotations_raw=permute(state.rotations_raw),
+        opacities_raw=permute(state.opacities_raw),
+        colors=permute(state.colors),
+        view_scores=permute(state.view_scores),
+        view_supports=permute(state.view_supports),
+        view_means=permute(state.view_means),
+        count=n_keep,
+    )
+    return new_state, state.count - n_keep

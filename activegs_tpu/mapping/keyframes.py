@@ -1,0 +1,118 @@
+"""Fixed-capacity keyframe buffer + training-frame samplers.
+
+The reference keeps a Python list of dataframes on the GPU
+(`gaussian_map.py:465`, `training_data`) and re-stacks tensors per sampled
+batch (`mapping/utils.py:220-228`). Here keyframes live in one device-side
+ring-less buffer with static capacity — rgb quantized to uint8 and depth to
+f16 to keep HBM use modest — and sampling is a jitted gather, so the whole
+train step stays on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KeyframeBuffer:
+    rgb: jnp.ndarray  # (F, 3, H, W) uint8
+    depth: jnp.ndarray  # (F, 1, H, W) float16 (negatives keep sentinels)
+    extrinsics: jnp.ndarray  # (F, 4, 4)
+    intrinsics: jnp.ndarray  # (F, 3, 3)
+    performance: jnp.ndarray  # (F,) tracked rgb+depth error (`training_performance`)
+    count: jnp.ndarray  # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.rgb.shape[0]
+
+
+def init_buffer(capacity: int, h: int, w: int) -> KeyframeBuffer:
+    return KeyframeBuffer(
+        rgb=jnp.zeros((capacity, 3, h, w), jnp.uint8),
+        depth=jnp.zeros((capacity, 1, h, w), jnp.float16),
+        extrinsics=jnp.tile(jnp.eye(4)[None], (capacity, 1, 1)),
+        intrinsics=jnp.tile(jnp.eye(3)[None], (capacity, 1, 1)),
+        performance=jnp.zeros((capacity,)),
+        count=jnp.int32(0),
+    )
+
+
+def add_frame(buf: KeyframeBuffer, frame: dict) -> KeyframeBuffer:
+    """Append a dataframe (new frames start with performance 10,
+    `gaussian_map.py:466-468`). Frames beyond capacity are dropped."""
+    i = jnp.minimum(buf.count, buf.capacity - 1)
+    rgb_u8 = jnp.clip(frame["rgb"] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return KeyframeBuffer(
+        rgb=buf.rgb.at[i].set(rgb_u8),
+        depth=buf.depth.at[i].set(frame["depth"].astype(jnp.float16)),
+        extrinsics=buf.extrinsics.at[i].set(frame["extrinsic"]),
+        intrinsics=buf.intrinsics.at[i].set(frame["intrinsic"]),
+        performance=buf.performance.at[i].set(10.0),
+        count=jnp.minimum(buf.count + 1, buf.capacity),
+    )
+
+
+def decode_frames(buf: KeyframeBuffer, ids: jnp.ndarray):
+    """Gather + dequantize a batch of frames -> (rgb f32, depth f32, ext, intr)."""
+    rgb = buf.rgb[ids].astype(jnp.float32) / 255.0
+    depth = buf.depth[ids].astype(jnp.float32)
+    return rgb, depth, buf.extrinsics[ids], buf.intrinsics[ids]
+
+
+def sample_weighted(
+    buf: KeyframeBuffer, key: jnp.ndarray, batch: int, active: int
+) -> jnp.ndarray:
+    """WeightedSampler (`mapping/utils.py:190-228`): always take the last
+    `active` keyframes; fill the batch with error-weighted draws (without
+    replacement) from the rest. With fewer frames than the batch, ids repeat
+    (the reference shrinks the batch; static shapes forbid that — repeated
+    frames only re-weight the loss slightly)."""
+    f = buf.count
+    n_active = jnp.minimum(active, f)
+    active_ids = jnp.clip(f - 1 - jnp.arange(batch, dtype=jnp.int32), 0)
+
+    n_rest = jnp.maximum(f - n_active, 0)
+    rest_weights = jnp.where(
+        jnp.arange(buf.capacity) < n_rest, buf.performance + 1e-6, 0.0
+    )
+    # Gumbel top-k == weighted sampling without replacement
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, (buf.capacity,)) + 1e-20) + 1e-20)
+    scores = jnp.where(rest_weights > 0, jnp.log(rest_weights) + g, -jnp.inf)
+    rest_ids = jnp.argsort(-scores)[:batch].astype(jnp.int32)
+
+    take_rest = jnp.minimum(jnp.maximum(batch - n_active, 0), n_rest)
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    ids = jnp.where(idx < n_active, active_ids, rest_ids[jnp.clip(idx - n_active, 0)])
+    use_rest = (idx >= n_active) & (idx < n_active + take_rest)
+    ids = jnp.where(use_rest | (idx < n_active), ids, active_ids[0])
+    return jnp.clip(ids, 0, jnp.maximum(f - 1, 0))
+
+
+def sample_uniform(
+    buf: KeyframeBuffer, key: jnp.ndarray, batch: int, active: int
+) -> jnp.ndarray:
+    """UniformSampler (`mapping/utils.py:231-261`)."""
+    f = buf.count
+    n_active = jnp.minimum(active, f)
+    active_ids = jnp.clip(f - 1 - jnp.arange(batch, dtype=jnp.int32), 0)
+    n_rest = jnp.maximum(f - n_active, 0)
+    perm = jax.random.permutation(key, buf.capacity)
+    rest_ids = jnp.where(perm < n_rest, perm, 0).astype(jnp.int32)
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    ids = jnp.where(idx < n_active, active_ids, rest_ids[jnp.clip(idx - n_active, 0)])
+    return jnp.clip(ids, 0, jnp.maximum(f - 1, 0))
+
+
+def update_performance(
+    buf: KeyframeBuffer, ids: jnp.ndarray, errors: jnp.ndarray
+) -> KeyframeBuffer:
+    """`track_performance` (`gaussian_map.py:132-139`): per-frame mean rgb +
+    depth error feeds the weighted sampler."""
+    return dataclasses.replace(
+        buf, performance=buf.performance.at[ids].set(errors)
+    )

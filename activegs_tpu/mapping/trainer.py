@@ -1,0 +1,185 @@
+"""Jitted training + post-processing for the Gaussian-surfel map.
+
+The analog of `GaussianMap.train`/`post_processing`
+(`mapping/gaussian_map.py:66-246`), restructured TPU-first: one jitted
+`train_keyframe` runs the whole per-keyframe optimization (sampler draws,
+batched renders, 4-term loss, per-group-LR Adam) as a `fori_loop`, and the
+optimizer is re-created fresh every keyframe — deliberately, matching the
+reference's re-init semantics (`gaussian_map.py:259-292`; moment reset per
+keyframe is part of the algorithm, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.image_ops import depth_to_normal
+from ..render.renderer import render_stats, render_views
+from ..render.types import Camera, RasterConfig
+from . import gaussians as gm
+from . import keyframes as kf
+from . import losses
+
+PARAM_FIELDS = ("means", "scales_raw", "rotations_raw", "opacities_raw", "colors")
+
+
+def _params_of(state: gm.GaussianMapState) -> dict:
+    return {k: getattr(state, k) for k in PARAM_FIELDS}
+
+
+def _with_params(state: gm.GaussianMapState, params: dict) -> gm.GaussianMapState:
+    return dataclasses.replace(state, **params)
+
+
+def make_optimizer(cfg: gm.MapConfig) -> optax.GradientTransformation:
+    """Adam(eps=1e-15) with the reference's per-group learning rates
+    (`gaussian_map.py:259-292`, `config/mapper/incremental.yaml:27-32`)."""
+    lrs = {
+        "means": cfg.mean_lr,
+        "scales_raw": cfg.scale_lr,
+        "rotations_raw": cfg.rotation_lr,
+        "opacities_raw": cfg.opacity_lr,
+        "colors": cfg.harmonic_lr,
+    }
+
+    def scale_by_group(updates, opt_state, params=None):
+        del params
+        return jax.tree.map_with_path(
+            lambda path, u: u * lrs[path[0].key], updates
+        ), opt_state
+
+    group_lr = optax.GradientTransformation(lambda params: (), scale_by_group)
+    return optax.chain(optax.scale_by_adam(eps=1e-15), group_lr, optax.scale(-1.0))
+
+
+def batch_loss(
+    params: dict,
+    state: gm.GaussianMapState,
+    batch: tuple,
+    cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+):
+    """4-term mapping loss over a view batch (`gaussian_map.py:106-124`).
+
+    Returns (loss, per_frame_error) where per_frame_error drives the
+    weighted sampler (`track_performance`, `gaussian_map.py:132-139`).
+    """
+    rgb_gt, depth_gt, extrinsics, intrinsics = batch
+    v, _, h, w = rgb_gt.shape
+    state = _with_params(state, params)
+    attrs = gm.attrs_of(state, cfg)
+    out, _ = render_views(
+        attrs,
+        extrinsics,
+        intrinsics,
+        (h, w),
+        raster_cfg,
+        background=jnp.asarray(cfg.background),
+    )
+
+    mask_vis = jax.lax.stop_gradient(out.opacity) > 1e-3
+    mask_depth = depth_gt > 0.0
+
+    rgb_l1 = losses.l1_masked(out.rgb, rgb_gt, mask_vis)
+    depth_l1 = losses.l1_masked(out.depth, depth_gt, mask_depth)
+
+    d2n = jax.vmap(depth_to_normal)(
+        out.depth[:, 0], mask_vis[:, 0], intrinsics
+    ).transpose(0, 3, 1, 2)
+    cons = losses.consistency_loss(out.normal, d2n)
+    tv = losses.normal_tv_loss(
+        out.normal, jax.lax.stop_gradient(out.depth), mask_depth
+    )
+    total = losses.total_mapping_loss(rgb_l1, depth_l1, cons, tv, mask_vis[:, 0])
+
+    per_frame = jnp.mean(rgb_l1, axis=(1, 2, 3)) + jnp.mean(depth_l1, axis=(1, 2, 3))
+    return total, jax.lax.stop_gradient(per_frame)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "raster_cfg", "steps", "sampler")
+)
+def train_keyframe(
+    state: gm.GaussianMapState,
+    buf: kf.KeyframeBuffer,
+    key: jnp.ndarray,
+    cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+    steps: int | None = None,
+    sampler: str = "weighted",
+):
+    """Run the per-keyframe optimization (`GaussianMap.train`,
+    `gaussian_map.py:66-130`): fresh Adam, `steps` iterations of
+    sample-batch -> render -> loss -> update. Returns (state, buf, loss)."""
+    steps = cfg.optimization_steps if steps is None else steps
+    opt = make_optimizer(cfg)
+    params = _params_of(state)
+    opt_state = opt.init(params)
+    sample = kf.sample_weighted if sampler == "weighted" else kf.sample_uniform
+
+    def body(i, carry):
+        params, opt_state, buf, key, _ = carry
+        key, k1 = jax.random.split(key)
+        ids = sample(buf, k1, cfg.batch_size, cfg.active_size)
+        batch = kf.decode_frames(buf, ids)
+        (loss, per_frame), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            params, state, batch, cfg, raster_cfg
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        buf = kf.update_performance(buf, ids, per_frame)
+        return params, opt_state, buf, key, loss
+
+    params, opt_state, buf, key, last_loss = jax.lax.fori_loop(
+        0, steps, body, (params, opt_state, buf, key, jnp.float32(0.0))
+    )
+    return _with_params(state, params), buf, last_loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg", "require_prune"))
+def post_process(
+    state: gm.GaussianMapState,
+    buf: kf.KeyframeBuffer,
+    depth_far: jnp.ndarray,
+    cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+    require_prune: bool,
+):
+    """Confidence statistics + periodic pruning (`post_processing`,
+    `gaussian_map.py:141-246`): stats-render the latest keyframe
+    (front-only, render_mask = depth>0) to find visible gaussians, update
+    Welford view statistics; every `prune_interval` keyframes, accumulate
+    visibility over ALL keyframes and prune never-visible or transparent
+    gaussians. Returns (state, n_pruned)."""
+    attrs = gm.attrs_of(state, cfg)
+    latest = jnp.maximum(buf.count - 1, 0)
+    h, w = buf.rgb.shape[-2:]
+
+    def stats_for(i):
+        _, depth, ext, intr = kf.decode_frames(buf, i[None])
+        cam = Camera(extrinsic=ext[0], intrinsic=intr[0])
+        mask = (depth[0, 0] > 0.0).astype(jnp.float32)
+        return render_stats(
+            attrs, cam, (h, w), raster_cfg, render_mask=mask, front_only=True
+        )
+
+    _, cnt_latest = stats_for(latest)
+    cam_pos = buf.extrinsics[latest][:3, 3]
+    state = gm.update_confidence(state, cfg, cam_pos, depth_far, cnt_latest)
+
+    n_pruned = jnp.int32(0)
+    if require_prune:
+        def body(i, vis_any):
+            _, cnt = stats_for(i)
+            return vis_any | (cnt >= 1)
+
+        vis_any = jax.lax.fori_loop(
+            0, buf.count, body, jnp.zeros((state.capacity,), bool)
+        )
+        state, n_pruned = gm.prune(state, cfg, vis_any)
+    return state, n_pruned

@@ -1,0 +1,138 @@
+"""Tile binning: expand gaussians into depth-ordered per-tile entry lists.
+
+TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort
+stage: one uint32 key sort per view (key = tile_id << 20 | depth_rank) using
+XLA's sorter, then a re-pad pass that K-aligns every tile segment so the
+Pallas compositor can stream fixed-size chunks with no cross-tile overlap.
+
+Everything here is non-differentiable index bookkeeping; callers
+stop-gradient the inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .types import RasterConfig
+
+RANK_BITS = 20  # max 2^20 gaussians per view
+MAX_TILES = (1 << 12) - 1  # tile ids above this collide with the sentinel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BinResult:
+    gid: jnp.ndarray  # (E_alloc,) int32, gaussian index per entry (-1 = pad)
+    tile_start: jnp.ndarray  # (T,) int32, K-aligned segment starts
+    tile_len: jnp.ndarray  # (T,) int32, real (unpadded) segment lengths
+    num_dropped: jnp.ndarray  # () int32, entries lost to the budget cap
+
+
+def entry_capacity(n: int, num_tiles: int, cfg: RasterConfig) -> int:
+    budget = int(round(n * cfg.entry_mult))
+    budget = -(-budget // cfg.chunk) * cfg.chunk
+    return budget + num_tiles * (cfg.chunk - 1)
+
+
+def bin_entries(
+    mean_x: jnp.ndarray,
+    mean_y: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth_z: jnp.ndarray,
+    in_view: jnp.ndarray,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig,
+) -> BinResult:
+    h, w = image_shape
+    ntx = -(-w // cfg.tile_w)
+    nty = -(-h // cfg.tile_h)
+    num_tiles = ntx * nty
+    assert num_tiles <= MAX_TILES, "image too large for 12-bit tile ids"
+    n = mean_x.shape[0]
+    assert n < (1 << RANK_BITS), "too many gaussians for 20-bit depth ranks"
+    kchunk = cfg.chunk
+    budget = int(round(n * cfg.entry_mult))
+    budget = -(-budget // kchunk) * kchunk
+    e_alloc = budget + num_tiles * (kchunk - 1)
+
+    # --- clamped tile span, capped at max_dup tiles (centered shrink) ---
+    tx0 = jnp.clip(jnp.floor((mean_x - radius) / cfg.tile_w), 0, ntx - 1).astype(
+        jnp.int32
+    )
+    tx1 = jnp.clip(jnp.floor((mean_x + radius) / cfg.tile_w), 0, ntx - 1).astype(
+        jnp.int32
+    )
+    ty0 = jnp.clip(jnp.floor((mean_y - radius) / cfg.tile_h), 0, nty - 1).astype(
+        jnp.int32
+    )
+    ty1 = jnp.clip(jnp.floor((mean_y + radius) / cfg.tile_h), 0, nty - 1).astype(
+        jnp.int32
+    )
+    sw = tx1 - tx0 + 1
+    sh = ty1 - ty0 + 1
+    area = sw * sh
+    shrink = jnp.sqrt(cfg.max_dup / jnp.maximum(area, 1).astype(jnp.float32))
+    sw_c = jnp.where(area > cfg.max_dup, jnp.floor(sw * shrink), sw).astype(jnp.int32)
+    sw_c = jnp.clip(sw_c, 1, sw)
+    sh_c = jnp.minimum(cfg.max_dup // sw_c, sh)
+    # recenter the capped span on the projected mean
+    ctx = jnp.clip((mean_x / cfg.tile_w).astype(jnp.int32), tx0, tx1)
+    cty = jnp.clip((mean_y / cfg.tile_h).astype(jnp.int32), ty0, ty1)
+    tx0c = jnp.clip(ctx - (sw_c - 1) // 2, tx0, tx1 - sw_c + 1)
+    ty0c = jnp.clip(cty - (sh_c - 1) // 2, ty0, ty1 - sh_c + 1)
+
+    dup = jnp.where(in_view, sw_c * sh_c, 0)
+    slot0 = jnp.cumsum(dup) - dup  # exclusive prefix
+    total_entries = slot0[-1] + dup[-1] if n else jnp.int32(0)
+    num_dropped = jnp.maximum(total_entries - budget, 0)
+
+    # depth rank: dense ordering of camera z among in-view gaussians
+    order = jnp.argsort(jnp.where(in_view, depth_z, jnp.inf))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    keys = jnp.full((e_alloc,), sentinel, jnp.uint32)
+    gids = jnp.full((e_alloc,), -1, jnp.int32)
+
+    def body(j, carry):
+        keys, gids = carry
+        sel = j < dup
+        r = j // sw_c
+        c = j % sw_c
+        tile = (ty0c + r) * ntx + (tx0c + c)
+        key = (tile.astype(jnp.uint32) << RANK_BITS) | rank.astype(jnp.uint32)
+        slot = jnp.where(sel, slot0 + j, e_alloc)  # out of range -> dropped
+        keys = keys.at[slot].set(key, mode="drop")
+        gids = gids.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        return keys, gids
+
+    keys, gids = jax.lax.fori_loop(0, cfg.max_dup, body, (keys, gids))
+
+    keys_sorted, gid_sorted = jax.lax.sort((keys, gids), num_keys=1)
+
+    # --- per-tile segments + K-aligned re-pad ---
+    tile_keys = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)) << RANK_BITS
+    starts = jnp.searchsorted(keys_sorted, tile_keys, side="left").astype(jnp.int32)
+    seg_len = starts[1:] - starts[:-1]  # (T,)
+    pad_len = -(-seg_len // kchunk) * kchunk
+    pad_start = jnp.cumsum(pad_len) - pad_len
+
+    pos = jnp.arange(e_alloc, dtype=jnp.int32)
+    tile_of = (keys_sorted >> RANK_BITS).astype(jnp.int32)
+    valid = tile_of < num_tiles
+    tile_idx = jnp.clip(tile_of, 0, num_tiles - 1)
+    new_pos = pad_start[tile_idx] + (pos - starts[:-1][tile_idx])
+    new_pos = jnp.where(valid, new_pos, e_alloc)
+    gid_padded = jnp.full((e_alloc,), -1, jnp.int32).at[new_pos].set(
+        gid_sorted, mode="drop"
+    )
+
+    return BinResult(
+        gid=gid_padded,
+        tile_start=pad_start,
+        tile_len=seg_len,
+        num_dropped=num_dropped,
+    )

@@ -1,0 +1,606 @@
+"""Pallas tile compositor: front-to-back surfel alpha blending on TPU.
+
+The performance core of the framework — the TPU-native replacement for the
+CUDA tile rasterizer's render/backward stages (external package
+`diff-gaussian-rasterization_2d`; call surface `utils/operations.py:645-720`).
+
+Design (one grid program per 32x32-pixel tile):
+  * entry parameters live in HBM as a (PARAM_DIM, E) array whose per-tile
+    segments are K-aligned (binning.py); chunks of K entries are streamed
+    into VMEM with double-buffered DMA,
+  * per chunk, alphas for all (K entries x P pixels) are evaluated on the
+    VPU, transmittance is a Hillis-Steele prefix product along the entry
+    axis, and the 7 feature channels accumulate via a (7, K) @ (K, P) MXU
+    matmul; per-pixel surfel-plane depth composites with an elementwise
+    reduce,
+  * tiles terminate early once every pixel's transmittance is saturated,
+  * the hand-written backward kernel replays chunks in reverse, carrying
+    per-pixel suffix state, and emits per-entry parameter gradients with
+    chunk-granular DMA writes (disjoint across tiles by construction).
+
+Forward output layout per tile: (T, 16, P) with rows
+[r, g, b, nx, ny, nz, depth, conf, transmittance, chunks_done, 0...].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import preprocess as pp
+from .types import PARAM_DIM, RasterConfig
+
+OUT_ROWS = 16  # padded to a sublane multiple; rows 10..15 unused
+ROW_DEPTH = 6
+ROW_CONF = 7
+ROW_TRANS = 8
+ROW_STOP = 9
+
+# feature rows of the entry layout composited through the MXU matmul,
+# in output-channel order [r, g, b, nx, ny, nz, conf]
+FEAT_SLICE = (6, 13)  # entry rows 6..12 == colors(3), normals(3), conf... see below
+
+
+def _use_interpret(cfg: RasterConfig) -> bool:
+    if cfg.interpret is not None:
+        return cfg.interpret
+    return jax.default_backend() != "tpu"
+
+
+def _cumprod_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive prefix product along axis 0 (length k, power of two or not)
+    via a Hillis-Steele doubling scan — Mosaic has no native cumprod."""
+    s = 1
+    while s < k:
+        pad = jnp.ones((s, x.shape[1]), x.dtype)
+        x = x * jnp.concatenate([pad, x[:-s]], axis=0)
+        s *= 2
+    return x
+
+
+def _cumsum_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 (doubling scan)."""
+    s = 1
+    while s < k:
+        pad = jnp.zeros((s, x.shape[1]), x.dtype)
+        x = x + jnp.concatenate([pad, x[:-s]], axis=0)
+        s *= 2
+    return x
+
+
+def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig):
+    """Pixel-center coordinates of tile t as (1, P) arrays."""
+    p = cfg.tile_pixels
+    tx = t % ntx
+    ty = t // ntx
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (tx * cfg.tile_w + pix % cfg.tile_w).astype(jnp.float32) + 0.5
+    py = (ty * cfg.tile_h + pix // cfg.tile_w).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _feats_of(e: jnp.ndarray) -> jnp.ndarray:
+    """(7, K) matmul features from an entry block (PARAM_DIM, K): colors,
+    world normals, confidence (entry rows 6..11 and 16)."""
+    return jnp.concatenate([e[6:12, :], e[16:17, :]], axis=0)
+
+
+def _entry_dma(entries_ref, buf, sem, start, chunk, slot, kchunk):
+    off = pl.multiple_of(start + chunk * kchunk, kchunk)
+    return pltpu.make_async_copy(
+        entries_ref.at[:, pl.ds(off, kchunk)], buf.at[slot], sem.at[slot]
+    )
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg):
+    kchunk = cfg.chunk
+    p = cfg.tile_pixels
+    t = pl.program_id(0)
+    start = start_ref[t]
+    ln = len_ref[t]
+    nch = pl.cdiv(ln, kchunk)
+    px, py = _tile_pixel_coords(t, ntx, cfg)
+
+    @pl.when(nch > 0)
+    def _():
+        _entry_dma(entries_ref, buf, sem, start, 0, 0, kchunk).start()
+
+    def cond(c):
+        i, trans, _ = c
+        return (i < nch) & (jnp.max(trans) > cfg.term_eps)
+
+    def body(c):
+        i, trans, acc = c
+        _entry_dma(entries_ref, buf, sem, start, i, i % 2, kchunk).wait()
+
+        @pl.when(i + 1 < nch)
+        def _():
+            _entry_dma(entries_ref, buf, sem, start, i + 1, (i + 1) % 2, kchunk).start()
+
+        e = buf[i % 2]  # (PARAM_DIM, K)
+        et = e.T  # (K, PARAM_DIM) — one small relayout per chunk
+        cols = pp.entry_cols(et)
+        alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (K, P)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
+        alpha = jnp.where(kmask, alpha, 0.0)
+
+        one_m = 1.0 - alpha
+        cum = _cumprod_k(one_m, kchunk)  # inclusive
+        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        wgt = alpha * excl * trans  # (K, P)
+
+        feats = _feats_of(e)  # (7, K)
+        ch = jax.lax.dot_general(
+            feats,
+            wgt,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (7, P)
+        dsum = jnp.sum(wgt * tdep, axis=0, keepdims=True)  # (1, P)
+        acc = acc + jnp.concatenate([ch, dsum], axis=0)
+        trans = trans * cum[-1:]
+        return (i + 1, trans, acc)
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, p), jnp.float32),
+        jnp.zeros((8, p), jnp.float32),
+    )
+    i_end, trans, acc = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(i_end < nch)  # drain the prefetched-but-unconsumed DMA
+    def _():
+        _entry_dma(entries_ref, buf, sem, start, i_end, i_end % 2, kchunk).wait()
+
+    zeros = jnp.zeros((OUT_ROWS - 10, p), jnp.float32)
+    stop_row = jnp.full((1, p), 1.0, jnp.float32) * i_end.astype(jnp.float32)
+    # rows: rgb(0:3) nrm(3:6) from acc[0:6]; depth=acc[7]; conf=acc[6]
+    out = jnp.concatenate(
+        [acc[0:6], acc[7:8], acc[6:7], trans, stop_row, zeros], axis=0
+    )
+    out_ref[0, :, :] = out
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    start_ref,
+    len_ref,
+    stop_ref,
+    entries_ref,
+    out_fwd_ref,
+    gout_ref,
+    dentries_ref,
+    rbuf,
+    rsem,
+    wbuf,
+    wsem,
+    *,
+    ntx,
+    cfg,
+):
+    kchunk = cfg.chunk
+    t = pl.program_id(0)
+    start = start_ref[t]
+    ln = len_ref[t]
+    nch = pl.cdiv(ln, kchunk)
+    stop = stop_ref[t]
+    px, py = _tile_pixel_coords(t, ntx, cfg)
+
+    g = gout_ref[0]  # (OUT_ROWS, P)
+    # feature-channel grads in feats order [r g b nx ny nz conf]
+    g_feat = jnp.concatenate([g[0:6, :], g[ROW_CONF : ROW_CONF + 1, :]], axis=0)
+    g_depth = g[ROW_DEPTH : ROW_DEPTH + 1, :]
+    g_trans = g[ROW_TRANS : ROW_TRANS + 1, :]
+    t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
+
+    def wdma(slot, chunk):
+        off = pl.multiple_of(start + chunk * kchunk, kchunk)
+        return pltpu.make_async_copy(
+            wbuf.at[slot], dentries_ref.at[:, pl.ds(off, kchunk)], wsem.at[slot]
+        )
+
+    # ---- zero-fill chunks the forward pass never reached ----
+    def zero_body(i, _):
+        wbuf[0] = jnp.zeros((PARAM_DIM, kchunk), jnp.float32)
+        cp = wdma(0, i)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(stop, nch, zero_body, 0)
+
+    @pl.when(stop > 0)
+    def _():
+        _entry_dma(entries_ref, rbuf, rsem, start, stop - 1, (stop - 1) % 2, kchunk).start()
+
+    def body(c):
+        i, t_after, s_q = c
+        _entry_dma(entries_ref, rbuf, rsem, start, i, i % 2, kchunk).wait()
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            _entry_dma(entries_ref, rbuf, rsem, start, i - 1, (i - 1) % 2, kchunk).start()
+
+        e = rbuf[i % 2]
+        et = e.T
+        cols = pp.entry_cols(et)
+        alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
+        alpha = jnp.where(kmask, alpha, 0.0)
+
+        one_m = 1.0 - alpha
+        cum = _cumprod_k(one_m, kchunk)
+        total = cum[-1:]
+        t_before = t_after / jnp.maximum(total, 1e-30)
+        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        t_k = t_before * excl
+        wgt = alpha * t_k  # (K, P)
+
+        feats = _feats_of(e)  # (7, K)
+        # q_k(p) = sum_c feat_c[k] g_c(p) + t_k(p) g_depth(p)
+        q = (
+            jax.lax.dot_general(
+                feats,
+                g_feat,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + tdep * g_depth
+        )  # (K, P)
+        wq = wgt * q
+        incl = _cumsum_k(wq, kchunk)
+        suffix = s_q + (incl[-1:] - incl)  # sum over entries strictly after k
+        dalpha = t_k * q - (suffix + g_trans * t_final) / jnp.maximum(one_m, 0.01)
+        active = (alpha > 0.0) & (alpha < cfg.alpha_max)
+        dalpha = jnp.where(active, dalpha, 0.0)
+
+        # ---- chain into entry parameters ----
+        dx = px - cols["mean_x"]
+        dy = py - cols["mean_y"]
+        dpow = dalpha * alpha  # d/d(power) premultiplier
+        dmean_x = jnp.sum(dpow * (cols["ca"] * dx + cols["cb"] * dy), 1, keepdims=True)
+        dmean_y = jnp.sum(dpow * (cols["cb"] * dx + cols["cc"] * dy), 1, keepdims=True)
+        dca = jnp.sum(-0.5 * dx * dx * dpow, 1, keepdims=True)
+        dcb = jnp.sum(-dx * dy * dpow, 1, keepdims=True)
+        dcc = jnp.sum(-0.5 * dy * dy * dpow, 1, keepdims=True)
+        dop = jnp.sum(
+            dalpha * alpha / jnp.maximum(cols["op"], 1e-12), 1, keepdims=True
+        )
+
+        # feature grads: (K, 7) = wgt (K,P) @ g_feat^T (P,7)
+        dfeat = jax.lax.dot_general(
+            wgt,
+            g_feat,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, 7)
+
+        # depth-plane grads
+        wgd = wgt * g_depth
+        denom = cols["pa"] * px + cols["pb"] * py + cols["pc"]
+        ok = jnp.abs(denom) > 1e-8
+        denom_safe = jnp.where(ok, denom, 1.0)
+        t_raw = cols["pd"] / denom_safe
+        lo = cfg.depth_lo * cols["dz"]
+        hi = cfg.depth_hi * cols["dz"]
+        inside = ok & (t_raw > lo) & (t_raw < hi)
+        com = jnp.where(inside, wgd / denom_safe, 0.0)
+        dpd = jnp.sum(com, 1, keepdims=True)
+        dpa = jnp.sum(-com * t_raw * px, 1, keepdims=True)
+        dpb = jnp.sum(-com * t_raw * py, 1, keepdims=True)
+        dpc = jnp.sum(-com * t_raw, 1, keepdims=True)
+        ddz = jnp.sum(
+            wgd
+            * (
+                jnp.where(ok & (t_raw <= lo), cfg.depth_lo, 0.0)
+                + jnp.where(ok & (t_raw >= hi), cfg.depth_hi, 0.0)
+                + jnp.where(~ok, 1.0, 0.0)
+            ),
+            1,
+            keepdims=True,
+        )
+
+        zcol = jnp.zeros_like(dpd)
+        dcols = jnp.concatenate(
+            [
+                dmean_x,
+                dmean_y,
+                dca,
+                dcb,
+                dcc,
+                dop,
+                dfeat[:, 0:6],  # colors + normals
+                dpa,
+                dpb,
+                dpc,
+                dpd,
+                dfeat[:, 6:7],  # confidence
+                ddz,
+            ]
+            + [zcol] * (PARAM_DIM - 18),
+            axis=1,
+        )  # (K, PARAM_DIM)
+
+        # reuse of a write slot two iterations later must wait its DMA
+        @pl.when(i + 2 <= stop - 1)
+        def _():
+            wdma(i % 2, i + 2).wait()
+
+        wbuf[i % 2] = dcols.T
+        wdma(i % 2, i).start()
+
+        return (i - 1, t_before, s_q + incl[-1:])
+
+    p = cfg.tile_pixels
+    init = (stop - 1, t_final, jnp.zeros((1, p), jnp.float32))
+    jax.lax.while_loop(lambda c: c[0] >= 0, body, init)
+
+    # drain outstanding writes (chunks 0 and 1 are never waited in-loop)
+    @pl.when(stop >= 1)
+    def _():
+        wdma(0, 0).wait()
+
+    @pl.when(stop >= 2)
+    def _():
+        wdma(1, 1).wait()
+
+
+# --------------------------------------------------------------------------
+# stats (importance / count) — forward-only replay with a pixel mask
+# --------------------------------------------------------------------------
+
+
+def _stats_kernel(
+    start_ref,
+    len_ref,
+    entries_ref,
+    mask_ref,
+    thres_ref,
+    imp_ref,
+    cnt_ref,
+    buf,
+    sem,
+    wimp,
+    wcnt,
+    wsem,
+    *,
+    ntx,
+    cfg,
+):
+    kchunk = cfg.chunk
+    t = pl.program_id(0)
+    start = start_ref[t]
+    ln = len_ref[t]
+    nch = pl.cdiv(ln, kchunk)
+    px, py = _tile_pixel_coords(t, ntx, cfg)
+    mask = mask_ref[0]  # (8, P) broadcast rows; row 0 is the real mask
+    pix_mask = mask[0:1, :]
+    thres = thres_ref[0]
+
+    def wdma(chunk):
+        off = pl.multiple_of(start + chunk * kchunk, kchunk)
+        return (
+            pltpu.make_async_copy(wimp, imp_ref.at[:, pl.ds(off, kchunk)], wsem.at[0]),
+            pltpu.make_async_copy(wcnt, cnt_ref.at[:, pl.ds(off, kchunk)], wsem.at[1]),
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        _entry_dma(entries_ref, buf, sem, start, 0, 0, kchunk).start()
+
+    def cond(c):
+        i, trans = c
+        return (i < nch) & (jnp.max(trans) > cfg.term_eps)
+
+    def body(c):
+        i, trans = c
+        _entry_dma(entries_ref, buf, sem, start, i, i % 2, kchunk).wait()
+
+        @pl.when(i + 1 < nch)
+        def _():
+            _entry_dma(entries_ref, buf, sem, start, i + 1, (i + 1) % 2, kchunk).start()
+
+        e = buf[i % 2]
+        et = e.T
+        cols = pp.entry_cols(et)
+        alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg)
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
+        alpha = jnp.where(kmask, alpha, 0.0)
+        one_m = 1.0 - alpha
+        cum = _cumprod_k(one_m, kchunk)
+        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        wgt = alpha * excl * trans
+        wm = wgt * pix_mask
+        imp = jnp.sum(wm, axis=1, keepdims=True)  # (K, 1)
+        cnt = jnp.sum(
+            jnp.where(wm >= thres, 1.0, 0.0), axis=1, keepdims=True
+        )
+
+        # wait for previous writes before reusing the single write buffers
+        @pl.when(i > 0)
+        def _():
+            a, b = wdma(i - 1)
+            a.wait()
+            b.wait()
+
+        wimp[:, :] = imp.T
+        wcnt[:, :] = cnt.T
+        a, b = wdma(i)
+        a.start()
+        b.start()
+
+        return (i + 1, trans * cum[-1:])
+
+    p = cfg.tile_pixels
+    i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.ones((1, p), jnp.float32)))
+
+    @pl.when(i_end < nch)
+    def _():
+        _entry_dma(entries_ref, buf, sem, start, i_end, i_end % 2, kchunk).wait()
+
+    @pl.when(i_end > 0)
+    def _():
+        a, b = wdma(i_end - 1)
+        a.wait()
+        b.wait()
+
+    # zero-fill unreached chunks
+    def zero_body(i, _):
+        wimp[:, :] = jnp.zeros((1, kchunk), jnp.float32)
+        wcnt[:, :] = jnp.zeros((1, kchunk), jnp.float32)
+        a, b = wdma(i)
+        a.start()
+        b.start()
+        a.wait()
+        b.wait()
+        return 0
+
+    jax.lax.fori_loop(i_end, nch, zero_body, 0)
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+
+def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
+    interpret = _use_interpret(cfg)
+    kernel = functools.partial(_fwd_kernel, ntx=ntx, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, cfg.tile_pixels), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, OUT_ROWS, cfg.tile_pixels), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_len, entries)
+
+
+def _run_bwd(entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx, cfg):
+    interpret = _use_interpret(cfg)
+    kernel = functools.partial(_bwd_kernel, ntx=ntx, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, OUT_ROWS, cfg.tile_pixels),
+                lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, OUT_ROWS, cfg.tile_pixels),
+                lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(entries.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_start, tile_len, stop, entries, out_fwd, gout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def composite_tiled(entries, tile_start, tile_len, static):
+    """Differentiable tiled composite. static = (num_tiles, ntx, cfg)."""
+    num_tiles, ntx, cfg = static
+    return _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
+
+
+def _composite_fwd(entries, tile_start, tile_len, static):
+    num_tiles, ntx, cfg = static
+    out = _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
+    stop = out[:, ROW_STOP, 0].astype(jnp.int32)
+    return out, (entries, tile_start, tile_len, stop, out)
+
+
+def _composite_bwd(static, res, gout):
+    num_tiles, ntx, cfg = static
+    entries, tile_start, tile_len, stop, out = res
+    dentries = _run_bwd(
+        entries, tile_start, tile_len, stop, out, gout, num_tiles, ntx, cfg
+    )
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dentries, f0(tile_start), f0(tile_len)
+
+
+composite_tiled.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_stats(
+    entries, tile_start, tile_len, pixel_mask, num_tiles, ntx, cfg, weight_thres
+):
+    """Per-entry importance/count replay (`count`/`importance` outputs of the
+    CUDA rasterizer, used by `gaussian_map.py:193-232`). pixel_mask:
+    (T, 8, P) f32 (row 0 = render mask; padded rows for tiling). Returns
+    (importance (1, E), count (1, E))."""
+    interpret = _use_interpret(cfg)
+    kernel = functools.partial(_stats_kernel, ntx=ntx, cfg=cfg)
+    thres = jnp.full((1, 1), weight_thres, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, cfg.tile_pixels), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, entries.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((1, entries.shape[1]), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, cfg.chunk), jnp.float32),
+            pltpu.VMEM((1, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_start, tile_len, entries, pixel_mask, thres)

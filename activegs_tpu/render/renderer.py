@@ -1,0 +1,191 @@
+"""Public rendering API: the TPU analog of `GaussianRenderer`
+(`utils/operations.py:723-904`).
+
+`render_view` renders one posed view with the full channel set; batching over
+views is a `jax.lax.map` (`render_views`) — each view's render saturates the
+chip, and sequential mapping keeps the entry buffers single-view sized —
+instead of the reference's Python loop over CUDA launches
+(`utils/operations.py:853-892`). Multi-device sharding over the view axis
+lives in parallel/ and simply shards the mapped axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import binning, composite_pallas as cp, preprocess as pp
+from .types import Camera, GaussianAttrs, RasterConfig, RenderOutput
+
+
+def _tile_grid(image_shape, cfg: RasterConfig):
+    h, w = image_shape
+    ntx = -(-w // cfg.tile_w)
+    nty = -(-h // cfg.tile_h)
+    return ntx, nty
+
+
+def _tiles_to_image(out_tiles: jnp.ndarray, image_shape, cfg: RasterConfig):
+    """(T, C, P) tile-major output -> (C, h, w) image."""
+    h, w = image_shape
+    ntx, nty = _tile_grid(image_shape, cfg)
+    c = out_tiles.shape[1]
+    img = out_tiles.reshape(nty, ntx, c, cfg.tile_h, cfg.tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c, nty * cfg.tile_h, ntx * cfg.tile_w)
+    return img[:, :h, :w]
+
+
+def _image_to_tiles(img: jnp.ndarray, image_shape, cfg: RasterConfig, rows: int):
+    """(h, w) mask -> (T, rows, P) tile-major layout (row 0 real, rest pad)."""
+    h, w = image_shape
+    ntx, nty = _tile_grid(image_shape, cfg)
+    pad_h = nty * cfg.tile_h - h
+    pad_w = ntx * cfg.tile_w - w
+    m = jnp.pad(img.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
+    m = m.reshape(nty, cfg.tile_h, ntx, cfg.tile_w).transpose(0, 2, 1, 3)
+    m = m.reshape(nty * ntx, 1, cfg.tile_pixels)
+    return jnp.concatenate([m, jnp.zeros_like(m).repeat(rows - 1, 1)], axis=1)
+
+
+def _prepare_entries(attrs, camera, image_shape, cfg, front_only):
+    params2d, radius, depth_z, in_view = pp.preprocess(
+        attrs, camera, image_shape, cfg, front_only=front_only
+    )
+    sg = jax.lax.stop_gradient
+    b = binning.bin_entries(
+        sg(params2d[0]),
+        sg(params2d[1]),
+        sg(radius),
+        sg(depth_z),
+        in_view,
+        image_shape,
+        cfg,
+    )
+    gidc = jnp.clip(b.gid, 0)
+    mask = (b.gid >= 0)[None, :]
+    # jnp.where (not multiply) so the VJP never touches uninitialized slots
+    entries = jnp.where(mask, params2d[:, gidc], 0.0)
+    return entries, b, params2d, radius, in_view
+
+
+def render_view(
+    attrs: GaussianAttrs,
+    camera: Camera,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig = RasterConfig(),
+    front_only: bool = False,
+    background: Optional[jnp.ndarray] = None,
+):
+    """Render one view. Returns (RenderOutput, aux dict).
+
+    aux carries `in_view` (the `radii > 0` frustum mask,
+    `utils/operations.py:815`), `radius`, `transmittance` and the binning
+    drop counter.
+    """
+    h, w = image_shape
+    ntx, nty = _tile_grid(image_shape, cfg)
+    num_tiles = ntx * nty
+    entries, b, _, radius, in_view = _prepare_entries(
+        attrs, camera, image_shape, cfg, front_only
+    )
+    static = (num_tiles, ntx, cfg)
+    out_tiles = cp.composite_tiled(entries, b.tile_start, b.tile_len, static)
+    img = _tiles_to_image(out_tiles, image_shape, cfg)  # (16, h, w)
+
+    trans = img[cp.ROW_TRANS : cp.ROW_TRANS + 1]
+    rgb = img[0:3]
+    if background is not None:
+        rgb = rgb + trans * background[:, None, None]
+    opacity = 1.0 - trans
+    vis = jax.lax.stop_gradient(opacity) > 1e-2
+    normal = img[3:6]
+    # rsqrt(max(.)) normalization: NaN-free gradient at zero-normal pixels
+    n2 = jnp.sum(normal * normal, axis=0, keepdims=True)
+    normal = normal * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+    normal = normal * vis  # normalize + visibility mask (operations.py:714-715)
+
+    output = RenderOutput(
+        rgb=rgb,
+        depth=img[cp.ROW_DEPTH : cp.ROW_DEPTH + 1],
+        normal=normal,
+        opacity=opacity,
+        confidence=img[cp.ROW_CONF : cp.ROW_CONF + 1],
+    )
+    aux = {
+        "in_view": in_view,
+        "radius": radius,
+        "transmittance": trans,
+        "num_dropped": b.num_dropped,
+    }
+    return output, aux
+
+
+def render_views(
+    attrs: GaussianAttrs,
+    extrinsics: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig = RasterConfig(),
+    front_only: bool = False,
+    background: Optional[jnp.ndarray] = None,
+):
+    """Render a batch of views sequentially (`render_view_all` analog,
+    `utils/operations.py:829-904`). extrinsics (V, 4, 4), intrinsics
+    (V, 3, 3). Returns (RenderOutput stacked over V, in_view_any (N,))."""
+
+    def one(cam_pair):
+        ext, intr = cam_pair
+        out, aux = render_view(
+            attrs,
+            Camera(extrinsic=ext, intrinsic=intr),
+            image_shape,
+            cfg,
+            front_only=front_only,
+            background=background,
+        )
+        return out, aux["in_view"]
+
+    outs, in_views = jax.lax.map(one, (extrinsics, intrinsics))
+    return outs, jnp.any(in_views, axis=0)
+
+
+def render_stats(
+    attrs: GaussianAttrs,
+    camera: Camera,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig = RasterConfig(),
+    render_mask: Optional[jnp.ndarray] = None,
+    weight_thres: float = 0.03,
+    front_only: bool = True,
+):
+    """Per-gaussian visibility stats for one view: (importance (N,),
+    count (N,)). The analog of the rasterizer's `importance`/`count` outputs
+    consumed by confidence update and pruning (`gaussian_map.py:171-232`);
+    `render_mask` plays the role of the `render_mask=depth_gt>0` setting
+    (`gaussian_map.py:191`)."""
+    h, w = image_shape
+    ntx, nty = _tile_grid(image_shape, cfg)
+    num_tiles = ntx * nty
+    entries, b, _, _, _ = _prepare_entries(attrs, camera, image_shape, cfg, front_only)
+    entries = jax.lax.stop_gradient(entries)
+    if render_mask is None:
+        render_mask = jnp.ones((h, w), jnp.float32)
+    mask_tiles = _image_to_tiles(render_mask.reshape(h, w), image_shape, cfg, rows=8)
+    imp_e, cnt_e = cp.composite_stats(
+        entries,
+        b.tile_start,
+        b.tile_len,
+        mask_tiles,
+        num_tiles,
+        ntx,
+        cfg,
+        weight_thres,
+    )
+    n = attrs.num
+    gid_safe = jnp.where(b.gid >= 0, b.gid, n)
+    imp = jax.ops.segment_sum(imp_e[0], gid_safe, num_segments=n + 1)[:n]
+    cnt = jax.ops.segment_sum(cnt_e[0], gid_safe, num_segments=n + 1)[:n]
+    return imp, cnt.astype(jnp.int32)

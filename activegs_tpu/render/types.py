@@ -1,0 +1,129 @@
+"""Shared datatypes for the TPU surfel rasterizer.
+
+The rasterizer re-implements the capability of the reference's external CUDA
+package `diff_gaussian_rasterization_2d` (call surface pinned at
+`utils/operations.py:645-720`) as a TPU-native pipeline:
+
+  1. preprocess (pure jnp, differentiable): project surfels, EWA covariance,
+     surfel plane parameters — per (view, gaussian),
+  2. binning (XLA): clamp tile spans, expand to (tile, gaussian) entries,
+     one uint32 key sort per view, K-aligned per-tile segments,
+  3. composite (Pallas): per-tile front-to-back alpha blending over entry
+     chunks — VPU for alpha evaluation, MXU for the channel accumulation —
+     with a hand-written backward kernel (custom_vjp).
+
+Channel set matches `utils/operations.py:703`: rgb, normal, depth, opacity,
+confidence per pixel; importance, count, radii per gaussian.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# ---- entry parameter layout (rows of the (PARAM_DIM, E) entry array) ----
+P_MEAN_X = 0
+P_MEAN_Y = 1
+P_CONIC_A = 2
+P_CONIC_B = 3
+P_CONIC_C = 4
+P_OPACITY = 5
+P_COLOR_R = 6
+P_COLOR_G = 7
+P_COLOR_B = 8
+P_NRM_X = 9
+P_NRM_Y = 10
+P_NRM_Z = 11
+P_PLANE_A = 12  # depth plane: t(u, v) = D / (A*u + B*v + C), u/v in pixels
+P_PLANE_B = 13
+P_PLANE_C = 14
+P_PLANE_D = 15
+P_CONF = 16
+P_DEPTH_Z = 17  # camera-space center depth (sort key + fallback depth)
+PARAM_DIM = 24  # padded to a sublane multiple
+
+# ---- output channel layout of the compositor (rows of (OUT_DIM, T, P)) ----
+O_R = 0
+O_G = 1
+O_B = 2
+O_NX = 3
+O_NY = 4
+O_NZ = 5
+O_DEPTH = 6
+O_CONF = 7
+O_TRANS = 8  # final transmittance (opacity = 1 - T)
+OUT_DIM = 9
+
+# number of composited feature channels (everything except transmittance)
+FEAT_DIM = 8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """A posed pinhole view. extrinsic: OpenCV camera-to-world (4, 4);
+    intrinsic: normalized (3, 3) (`simulator/utils.py:13-30`)."""
+
+    extrinsic: jnp.ndarray
+    intrinsic: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GaussianAttrs:
+    """Activated surfel attributes, the analog of `GaussianMap.get_attr()`
+    (`mapping/gaussian_map.py:573-581`). All arrays have leading dim N
+    (static capacity); `valid` masks live gaussians."""
+
+    means: jnp.ndarray  # (N, 3) world positions
+    scales: jnp.ndarray  # (N, 3) activated scales (third ~ 0 for surfels)
+    rotations: jnp.ndarray  # (N, 4) unit quaternions (wxyz)
+    opacities: jnp.ndarray  # (N,) in (0, 1)
+    colors: jnp.ndarray  # (N, 3) SH0 passthrough colors
+    confidences: jnp.ndarray  # (N,) in [0, 1], non-trainable channel
+    valid: jnp.ndarray  # (N,) bool
+
+    @property
+    def num(self) -> int:
+        return self.means.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (hashable; becomes a jit constant)."""
+
+    tile_h: int = 32
+    tile_w: int = 32
+    chunk: int = 128  # entries per compositing chunk (K)
+    max_dup: int = 16  # cap on tiles covered per gaussian
+    entry_mult: float = 3.0  # entry budget = round(N * entry_mult)
+    alpha_cut: float = 1.0 / 255.0  # per-sample alpha cutoff (gau_frag.glsl:23)
+    alpha_max: float = 0.99  # alpha clamp (gau_frag.glsl:20)
+    term_eps: float = 1.0 / 255.0  # early-termination transmittance
+    lowpass: float = 0.3  # EWA pixel low-pass (gau_vert.glsl:104-105)
+    tan_clamp: float = 1.3  # frustum clamp factor (gau_vert.glsl:86-91)
+    near: float = 0.05  # z cull distance
+    sigma_extent: float = 3.0  # bbox radius in sigmas (gau_vert.glsl:156)
+    depth_lo: float = 0.5  # plane-depth clamp, relative to center depth
+    depth_hi: float = 2.0
+    interpret: Optional[bool] = None  # None = auto (interpret off TPU)
+
+    @property
+    def tile_pixels(self) -> int:
+        return self.tile_h * self.tile_w
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutput:
+    """Per-view render result; the analog of the tuple returned by
+    `GaussianRenderer.render_view` (`utils/operations.py:791-826`)."""
+
+    rgb: jnp.ndarray  # (3, h, w)
+    depth: jnp.ndarray  # (1, h, w)
+    normal: jnp.ndarray  # (3, h, w) camera-space, normalized + masked
+    opacity: jnp.ndarray  # (1, h, w) accumulated alpha
+    confidence: jnp.ndarray  # (1, h, w)

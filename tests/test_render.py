@@ -1,0 +1,407 @@
+"""Rasterizer tests: tiled Pallas path vs the dense oracle, analytic cases,
+finite-difference gradient checks."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from activegs_tpu.core import geometry as geo
+from activegs_tpu.core import quaternions as quat
+from activegs_tpu.render import binning
+from activegs_tpu.render.dense import render_dense
+from activegs_tpu.render.renderer import render_stats, render_view
+from activegs_tpu.render.types import Camera, GaussianAttrs, RasterConfig
+
+# sigma_extent 3.5 makes the tile bbox cover everything above alpha_cut, so
+# dense (no binning) and tiled agree exactly
+CFG = RasterConfig(sigma_extent=3.5, interpret=True)
+CFG_SMALL_CHUNK = RasterConfig(sigma_extent=3.5, chunk=8, interpret=True)
+
+
+def make_camera():
+    return Camera(extrinsic=jnp.eye(4), intrinsic=geo.intrinsics_from_fov(60.0, 60.0))
+
+
+def make_attrs(n=64, seed=0, opaque=False, z_range=(1.0, 3.0)):
+    rng = np.random.default_rng(seed)
+    means = np.stack(
+        [
+            rng.uniform(-0.8, 0.8, n),
+            rng.uniform(-0.8, 0.8, n),
+            rng.uniform(*z_range, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    # make normals face the camera (reference spawn keeps only camera-facing
+    # surfels, gaussian_map.py:331-336)
+    toward = means / np.linalg.norm(means, axis=1, keepdims=True)
+    flip = np.sum(normals * toward, axis=1) > 0
+    normals[flip] *= -1
+    q, _ = quat.normal_to_quaternion(jnp.asarray(normals))
+    scales = np.stack(
+        [
+            rng.uniform(0.05, 0.15, n),
+            rng.uniform(0.05, 0.15, n),
+            np.full(n, 1e-6),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    opac = (
+        np.full(n, 0.95, np.float32)
+        if opaque
+        else rng.uniform(0.3, 0.9, n).astype(np.float32)
+    )
+    return GaussianAttrs(
+        means=jnp.asarray(means),
+        scales=jnp.asarray(scales),
+        rotations=q,
+        opacities=jnp.asarray(opac),
+        colors=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        confidences=jnp.asarray(rng.uniform(0, 1, n).astype(np.float32)),
+        valid=jnp.ones(n, bool),
+    )
+
+
+def single_surfel(color=(1.0, 0.2, 0.1), z=2.0, opacity=0.9, normal=(0, 0, -1)):
+    q, _ = quat.normal_to_quaternion(jnp.asarray([list(normal)], jnp.float32))
+    return GaussianAttrs(
+        means=jnp.array([[0.0, 0.0, z]]),
+        scales=jnp.array([[0.3, 0.3, 1e-6]]),
+        rotations=q,
+        opacities=jnp.array([opacity]),
+        colors=jnp.array([list(color)]),
+        confidences=jnp.array([0.7]),
+        valid=jnp.ones(1, bool),
+    )
+
+
+class TestBinning:
+    def test_segments_match_bruteforce(self):
+        h = w = 96
+        cfg = CFG
+        attrs = make_attrs(48, seed=3)
+        from activegs_tpu.render import preprocess as pp
+
+        params2d, radius, depth_z, in_view = pp.preprocess(
+            attrs, make_camera(), (h, w), cfg
+        )
+        b = binning.bin_entries(
+            params2d[0], params2d[1], radius, depth_z, in_view, (h, w), cfg
+        )
+        assert int(b.num_dropped) == 0
+        gid = np.asarray(b.gid)
+        starts = np.asarray(b.tile_start)
+        lens = np.asarray(b.tile_len)
+        mx, my = np.asarray(params2d[0]), np.asarray(params2d[1])
+        rad = np.asarray(radius)
+        z = np.asarray(depth_z)
+        iv = np.asarray(in_view)
+        ntx = -(-w // cfg.tile_w)
+        for t in range(len(starts)):
+            seg = gid[starts[t] : starts[t] + lens[t]]
+            assert np.all(seg >= 0)
+            # depth sorted within tile
+            assert np.all(np.diff(z[seg]) >= 0)
+            # brute force: which gaussians' bbox overlaps tile t
+            tx, ty = t % ntx, t // ntx
+            x0, x1 = tx * cfg.tile_w, (tx + 1) * cfg.tile_w
+            y0, y1 = ty * cfg.tile_h, (ty + 1) * cfg.tile_h
+            want = set(
+                np.nonzero(
+                    iv
+                    & (mx + rad >= x0)
+                    & (mx - rad < x1)
+                    & (my + rad >= y0)
+                    & (my - rad < y1)
+                )[0].tolist()
+            )
+            assert set(seg.tolist()) == want
+
+    def test_alignment(self):
+        h = w = 64
+        attrs = make_attrs(32, seed=5)
+        from activegs_tpu.render import preprocess as pp
+
+        cfg = CFG_SMALL_CHUNK
+        params2d, radius, depth_z, in_view = pp.preprocess(
+            attrs, make_camera(), (h, w), cfg
+        )
+        b = binning.bin_entries(
+            params2d[0], params2d[1], radius, depth_z, in_view, (h, w), cfg
+        )
+        assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
+
+
+class TestForward:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"])
+    def test_matches_dense_oracle(self, cfg):
+        attrs = make_attrs(96, seed=1)
+        cam = make_camera()
+        shape = (64, 64)
+        ref = render_dense(attrs, cam, shape, cfg)
+        out, aux = render_view(attrs, cam, shape, cfg)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref["rgb"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.depth), np.asarray(ref["depth"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.normal), np.asarray(ref["normal"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.opacity), np.asarray(ref["opacity"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.confidence), np.asarray(ref["confidence"]), atol=2e-5
+        )
+        assert int(aux["num_dropped"]) == 0
+
+    def test_opaque_wall_early_termination(self):
+        # stack many opaque surfels; front ones fully occlude the back
+        attrs = make_attrs(256, seed=2, opaque=True)
+        cam = make_camera()
+        shape = (64, 64)
+        cfg = CFG_SMALL_CHUNK
+        ref = render_dense(attrs, cam, shape, cfg)
+        out, _ = render_view(attrs, cam, shape, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.rgb), np.asarray(ref["rgb"]), atol=1e-4
+        )
+
+    def test_single_surfel_channels(self):
+        attrs = single_surfel()
+        cam = make_camera()
+        out, _ = render_view(attrs, cam, (64, 64), CFG)
+        c = np.asarray(out.rgb)[:, 32, 32]
+        alpha = float(out.opacity[0, 32, 32])
+        # center pixel: alpha ~= opacity, color = alpha * color
+        assert alpha == pytest.approx(0.9, abs=1e-2)
+        np.testing.assert_allclose(c, alpha * np.array([1.0, 0.2, 0.1]), atol=1e-3)
+        # fronto-parallel surfel at z=2: composited depth = alpha * 2
+        assert float(out.depth[0, 32, 32]) == pytest.approx(alpha * 2.0, abs=1e-3)
+        # normal normalized to the world normal
+        np.testing.assert_allclose(
+            np.asarray(out.normal)[:, 32, 32], [0, 0, -1], atol=1e-4
+        )
+        assert float(out.confidence[0, 32, 32]) == pytest.approx(alpha * 0.7, abs=1e-3)
+
+    def test_tilted_surfel_plane_depth(self):
+        # 45-degree surfel: depth varies linearly across the image
+        n = np.array([1.0, 0.0, -1.0]) / np.sqrt(2)
+        attrs = single_surfel(z=2.0, normal=tuple(n))
+        cam = make_camera()
+        out, _ = render_view(attrs, cam, (64, 64), CFG)
+        d = np.asarray(out.depth[0])
+        a = np.asarray(out.opacity[0])
+        # plane: n . (p - c) = 0 with p = t*(u/f, v/f, 1) =>
+        # t = (n.c) / (n.r); at pixel x offset u: r = (u/f, 0, 1)
+        k = np.asarray(cam.intrinsic)
+        f = k[0, 0] * 64
+        for col in (24, 32, 40):
+            u = col + 0.5 - 32
+            r = np.array([u / f, 0.0, 1.0])
+            t_expect = (n @ np.array([0, 0, 2.0])) / (n @ r)
+            got = d[32, col] / max(a[32, col], 1e-6)
+            assert got == pytest.approx(t_expect, rel=1e-3)
+
+    def test_occlusion_order(self):
+        # red surfel in front of green: center is mostly red
+        q, _ = quat.normal_to_quaternion(jnp.asarray([[0, 0, -1.0], [0, 0, -1.0]]))
+        attrs = GaussianAttrs(
+            means=jnp.array([[0, 0, 1.5], [0, 0, 2.5]]),
+            scales=jnp.array([[0.3, 0.3, 1e-6], [0.5, 0.5, 1e-6]]),
+            rotations=q,
+            opacities=jnp.array([0.8, 0.9]),
+            colors=jnp.array([[1.0, 0, 0], [0, 1.0, 0]]),
+            confidences=jnp.array([0.5, 0.5]),
+            valid=jnp.ones(2, bool),
+        )
+        out, _ = render_view(attrs, make_camera(), (64, 64), CFG)
+        c = np.asarray(out.rgb)[:, 32, 32]
+        assert c[0] == pytest.approx(0.8, abs=1e-2)  # front red alpha
+        assert c[1] == pytest.approx(0.2 * 0.9, abs=2e-2)  # (1-0.8)*0.9 green
+
+    def test_front_only_culls_backfacing(self):
+        attrs = single_surfel(normal=(0, 0, 1))  # facing away
+        out, _ = render_view(attrs, make_camera(), (64, 64), CFG, front_only=True)
+        assert float(jnp.max(out.opacity)) == 0.0
+        out2, _ = render_view(attrs, make_camera(), (64, 64), CFG, front_only=False)
+        assert float(jnp.max(out2.opacity)) > 0.5
+
+
+def _loss_fn(render, attrs, key):
+    out, _ = render(attrs)
+    rng = jax.random.split(key, 5)
+    wr = jax.random.normal(rng[0], out.rgb.shape)
+    wd = jax.random.normal(rng[1], out.depth.shape)
+    wn = jax.random.normal(rng[2], out.normal.shape)
+    wo = jax.random.normal(rng[3], out.opacity.shape)
+    return (
+        jnp.sum(out.rgb * wr)
+        + jnp.sum(out.depth * wd)
+        + 0.3 * jnp.sum(out.normal * wn)
+        + jnp.sum(out.opacity * wo)
+    )
+
+
+class TestBackward:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"])
+    def test_grads_match_dense_autodiff(self, cfg):
+        attrs = make_attrs(48, seed=7)
+        cam = make_camera()
+        shape = (64, 64)
+        key = jax.random.PRNGKey(0)
+
+        def loss_tiled(a):
+            return _loss_fn(lambda a_: render_view(a_, cam, shape, cfg), a, key)
+
+        def loss_dense(a):
+            def rd(a_):
+                r = render_dense(a_, cam, shape, cfg)
+                from activegs_tpu.render.types import RenderOutput
+
+                return (
+                    RenderOutput(
+                        rgb=r["rgb"],
+                        depth=r["depth"],
+                        normal=r["normal"],
+                        opacity=r["opacity"],
+                        confidence=r["confidence"],
+                    ),
+                    None,
+                )
+
+            return _loss_fn(rd, a, key)
+
+        names = ["means", "scales", "rotations", "opacities", "colors"]
+
+        def split(loss):
+            def f(*floats):
+                a = GaussianAttrs(
+                    **{
+                        **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                        **dict(zip(names, floats)),
+                    }
+                )
+                return loss(a)
+
+            return f
+
+        args = tuple(getattr(attrs, n) for n in names)
+        g_tiled = jax.grad(split(loss_tiled), argnums=tuple(range(5)))(*args)
+        g_dense = jax.grad(split(loss_dense), argnums=tuple(range(5)))(*args)
+        for name, gt, gd in zip(names, g_tiled, g_dense):
+            gt = np.asarray(gt)
+            gd = np.asarray(gd)
+            scale = np.abs(gd).max() + 1e-8
+            np.testing.assert_allclose(
+                gt / scale, gd / scale, atol=3e-4, err_msg=f"grad mismatch: {name}"
+            )
+
+    def test_dense_grads_match_finite_differences(self):
+        # directional derivative check of the full differentiable path.
+        # alpha_cut=0 removes the hard 1/255 cutoff, whose jump
+        # discontinuity finite differences see but autodiff (correctly,
+        # matching the CUDA reference's behavior) does not.
+        smooth_cfg = RasterConfig(sigma_extent=3.5, alpha_cut=0.0, interpret=True)
+        attrs = make_attrs(12, seed=9)
+        cam = make_camera()
+        shape = (32, 32)
+        key = jax.random.PRNGKey(1)
+
+        def loss(a):
+            def rd(a_):
+                r = render_dense(a_, cam, shape, smooth_cfg)
+                from activegs_tpu.render.types import RenderOutput
+
+                return (
+                    RenderOutput(
+                        rgb=r["rgb"],
+                        depth=r["depth"],
+                        normal=r["normal"],
+                        opacity=r["opacity"],
+                        confidence=r["confidence"],
+                    ),
+                    None,
+                )
+
+            return _loss_fn(rd, a, key)
+
+        names5 = ["means", "scales", "rotations", "opacities", "colors"]
+
+        def floats_loss(*floats):
+            return loss(
+                GaussianAttrs(
+                    **{
+                        **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                        **dict(zip(names5, floats)),
+                    }
+                )
+            )
+
+        args5 = tuple(getattr(attrs, n) for n in names5)
+        grads5 = jax.grad(floats_loss, argnums=tuple(range(5)))(*args5)
+        g = GaussianAttrs(
+            **{
+                **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                **dict(zip(names5, grads5)),
+            }
+        )
+        rng = np.random.default_rng(0)
+        for name in ["means", "scales", "rotations", "opacities", "colors"]:
+            x = np.asarray(getattr(attrs, name))
+            direction = rng.normal(size=x.shape).astype(np.float32)
+            direction /= np.linalg.norm(direction)
+            eps = 1e-3 if name != "scales" else 3e-4
+            lp = float(
+                loss(
+                    GaussianAttrs(
+                        **{
+                            **{
+                                f.name: getattr(attrs, f.name)
+                                for f in attrs.__dataclass_fields__.values()
+                            },
+                            name: jnp.asarray(x + eps * direction),
+                        }
+                    )
+                )
+            )
+            lm = float(
+                loss(
+                    GaussianAttrs(
+                        **{
+                            **{
+                                f.name: getattr(attrs, f.name)
+                                for f in attrs.__dataclass_fields__.values()
+                            },
+                            name: jnp.asarray(x - eps * direction),
+                        }
+                    )
+                )
+            )
+            fd = (lp - lm) / (2 * eps)
+            ad = float(jnp.sum(getattr(g, name) * direction))
+            assert ad == pytest.approx(fd, rel=3e-2, abs=2e-3), name
+
+
+class TestStats:
+    def test_importance_count_match_dense(self):
+        attrs = make_attrs(64, seed=11)
+        cam = make_camera()
+        shape = (64, 64)
+        rng = np.random.default_rng(0)
+        mask = jnp.asarray((rng.uniform(size=shape) > 0.3).astype(np.float32))
+        ref = render_dense(
+            attrs, cam, shape, CFG, front_only=True, render_mask=mask, weight_thres=0.03
+        )
+        imp, cnt = render_stats(
+            attrs, cam, shape, CFG, render_mask=mask, weight_thres=0.03
+        )
+        np.testing.assert_allclose(
+            np.asarray(imp), np.asarray(ref["importance"]), atol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref["count"]))
