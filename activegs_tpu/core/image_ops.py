@@ -59,7 +59,10 @@ def depth_to_normal(
         + jnp.cross(p_b, p_r)
         + jnp.cross(p_l, p_b)
     )
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # rsqrt(max(.)) normalization: NaN-free gradient where n == 0 (this is
+    # differentiated through the rendered depth in the consistency loss)
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     return n * m
 
 

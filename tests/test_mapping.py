@@ -1,0 +1,258 @@
+"""Mapping-layer tests: spawn, voxel map, training convergence on synthetic
+RGB-D frames from the ray-traced room."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from activegs_tpu.core import geometry as geo
+from activegs_tpu.mapping import gaussians as gm
+from activegs_tpu.mapping import keyframes as kf
+from activegs_tpu.mapping import trainer
+from activegs_tpu.mapping import voxel_map as vm
+from activegs_tpu.render.types import RasterConfig
+from activegs_tpu.sim.synthetic import BoxRoomSimulator
+
+RES = 64
+RASTER = RasterConfig(interpret=True)
+MAPCFG = gm.MapConfig(capacity=4096, bilateral_radius=2)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return BoxRoomSimulator(resolution=(RES, RES), seed=3, depth_noise_co=0.002)
+
+
+def look_at_pose(pos, target):
+    from activegs_tpu.core import quaternions as quat
+
+    z = jnp.asarray(target, jnp.float32) - jnp.asarray(pos, jnp.float32)
+    rot = quat.rotation_from_z(z[None])[0]
+    e = np.eye(4, dtype=np.float32)
+    e[:3, :3] = np.asarray(rot)
+    e[:3, 3] = pos
+    return e
+
+
+@pytest.fixture(scope="module")
+def frames(sim):
+    poses = [
+        look_at_pose((3.0, 2.5, 1.5), (5.5, 2.5, 1.2)),
+        look_at_pose((3.0, 2.5, 1.5), (5.0, 4.0, 1.0)),
+        look_at_pose((3.2, 2.3, 1.5), (5.5, 2.0, 1.5)),
+    ]
+    return [sim.simulate(p) for p in poses]
+
+
+class TestSimulator:
+    def test_dataframe_contract(self, sim):
+        f = sim.simulate(look_at_pose((3, 2.5, 1.5), (5.5, 2.5, 1.2)))
+        assert f["rgb"].shape == (3, RES, RES)
+        assert f["depth"].shape == (1, RES, RES)
+        d = np.asarray(f["depth"][0])
+        assert (d > 0).mean() > 0.8  # mostly valid
+        assert float(f["depth_range"][1]) == 5.0
+
+    def test_gt_mode_noise_free(self, sim):
+        pose = look_at_pose((3, 2.5, 1.5), (5.5, 2.5, 1.2))
+        f1 = sim.simulate(pose, require_gt=True)
+        f2 = sim.simulate(pose, require_gt=True)
+        np.testing.assert_array_equal(np.asarray(f1["depth"]), np.asarray(f2["depth"]))
+
+    def test_depth_consistent_with_backprojection(self, sim):
+        # back-projected points must lie inside the room bbox
+        pose = look_at_pose((3, 2.5, 1.5), (1.0, 1.0, 1.0))
+        f = sim.simulate(pose, require_gt=True)
+        pts = np.asarray(
+            geo.backproject_depth(f["depth"][0], f["extrinsic"], f["intrinsic"])
+        ).reshape(-1, 3)
+        valid = np.asarray(f["depth"][0]).reshape(-1) > 0
+        assert (pts[valid] >= sim.bbox[0] - 0.01).all()
+        assert (pts[valid] <= sim.bbox[1] + 0.01).all()
+
+    def test_valid_mask_only(self, sim):
+        mask = sim.simulate(
+            look_at_pose((3, 2.5, 1.5), (5.5, 2.5, 1.2)), valid_mask_only=True
+        )
+        assert mask.dtype == bool and mask.shape == (RES, RES)
+
+
+class TestSpawn:
+    def test_spawn_fills_prefix(self, frames):
+        state = gm.init_state(MAPCFG)
+        state, n_new = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        n_new = int(n_new)
+        assert n_new > 100
+        assert int(state.count) == n_new
+        # spawned means near the observed surface
+        pts = np.asarray(state.means[:n_new])
+        assert (pts >= -0.1).all() and (pts <= 6.1).all()
+        # opacities at sigmoid(0) = 0.5
+        assert float(jax.nn.sigmoid(state.opacities_raw[0])) == pytest.approx(0.5)
+        # flat third scale
+        scales = np.asarray(gm.activate_scales(state.scales_raw[:n_new], MAPCFG))
+        assert scales[:, 2].max() < 1e-8
+        assert scales[:, 0].max() == pytest.approx(0.01, abs=1e-6)
+
+    def test_spawn_dedup_reduces_count(self, frames):
+        state = gm.init_state(MAPCFG)
+        state, n1 = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        # spawning the same frame again: most pixels already covered by
+        # low-error gaussians? (map untrained, so error mask may still fire;
+        # at minimum capacity monotonicity and prefix invariant hold)
+        state2, n2 = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        assert int(state2.count) == int(state.count) + int(n2)
+
+    def test_normals_face_camera(self, frames):
+        state = gm.init_state(MAPCFG)
+        state, n_new = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        n = int(n_new)
+        normals = np.asarray(gm.normals_of(state))[:n]
+        cam_pos = np.asarray(frames[0]["extrinsic"][:3, 3])
+        to_cam = cam_pos - np.asarray(state.means[:n])
+        cos = (normals * to_cam).sum(1) / np.linalg.norm(to_cam, axis=1)
+        assert (cos > 0).mean() > 0.95
+
+
+class TestTraining:
+    def test_psnr_improves(self, frames):
+        state = gm.init_state(MAPCFG)
+        buf = kf.init_buffer(8, RES, RES)
+        for f in frames[:2]:
+            state, _ = gm.spawn(state, f, MAPCFG, RASTER)
+            buf = kf.add_frame(buf, f)
+
+        from activegs_tpu.render.renderer import render_view
+        from activegs_tpu.render.types import Camera
+
+        def psnr_of(state, f):
+            out, _ = render_view(
+                gm.attrs_of(state, MAPCFG),
+                Camera(extrinsic=f["extrinsic"], intrinsic=f["intrinsic"]),
+                (RES, RES),
+                RASTER,
+            )
+            mse = float(jnp.mean((out.rgb - f["rgb"]) ** 2))
+            return -10 * np.log10(mse + 1e-8)
+
+        p0 = psnr_of(state, frames[0])
+        state, buf, loss = trainer.train_keyframe(
+            state, buf, jax.random.PRNGKey(0), MAPCFG, RASTER, steps=30
+        )
+        p1 = psnr_of(state, frames[0])
+        assert p1 > p0 + 1.5, (p0, p1)
+        assert np.isfinite(float(loss))
+
+    def test_post_process_confidence_and_prune(self, frames):
+        state = gm.init_state(MAPCFG)
+        buf = kf.init_buffer(8, RES, RES)
+        state, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        buf = kf.add_frame(buf, frames[0])
+        far = frames[0]["depth_range"][1]
+        state2, _ = trainer.post_process(
+            state, buf, far, MAPCFG, RASTER, require_prune=False
+        )
+        sup = np.asarray(state2.view_supports[: int(state2.count)])
+        assert sup.max() == 1.0 and sup.mean() > 0.5
+        conf = np.asarray(gm.confidences_of(state2, MAPCFG))[: int(state2.count)]
+        assert (conf >= 0).all() and (conf <= 1).all() and conf.max() > 0.1
+
+        # prune with artificial low opacity on half the gaussians
+        n = int(state2.count)
+        opac = state2.opacities_raw.at[: n // 2].set(-5.0)  # sigmoid ~ 0.007
+        state3 = dataclasses.replace(state2, opacities_raw=opac)
+        state4, n_pruned = trainer.post_process(
+            state3, buf, far, MAPCFG, RASTER, require_prune=True
+        )
+        assert int(n_pruned) >= n // 2
+        assert int(state4.count) == n - int(n_pruned)
+
+
+class TestVoxelMap:
+    def test_update_carves_free_space(self, sim, frames):
+        cfg = vm.VoxelConfig()
+        grid = vm.VoxelGrid.create(sim.bbox, cfg)
+        state = vm.init_state(grid)
+        assert bool(state.unexplored.all())
+        state = vm.update(state, grid, frames[0])
+        free = np.asarray(vm.free_mask(state, cfg))
+        occ = np.asarray(vm.occ_mask(state, cfg))
+        une = np.asarray(state.unexplored)
+        assert free.sum() > 10
+        assert occ.sum() > 0
+        assert une.sum() < len(une)
+        # free voxels lie between camera and surfaces: all within 5 m
+        cam = np.asarray(frames[0]["extrinsic"][:3, 3])
+        centers = np.asarray(grid.centers)
+        d = np.linalg.norm(centers[free] - cam, axis=1)
+        assert d.max() < 5.5
+
+    def test_masks_disjoint_and_margin(self, sim, frames):
+        cfg = vm.VoxelConfig()
+        grid = vm.VoxelGrid.create(sim.bbox, cfg)
+        state = vm.init_state(grid)
+        for f in frames:
+            state = vm.update(state, grid, f)
+        free = np.asarray(vm.free_mask(state, cfg))
+        occ = np.asarray(vm.occ_mask(state, cfg))
+        unk = np.asarray(vm.unknown_mask(state, cfg))
+        assert not (free & occ).any()
+        assert ((free | occ | unk).sum()) == len(free)
+        fm = np.asarray(vm.free_mask_w_margin(state, grid, cfg))
+        assert fm.sum() <= free.sum()
+        frontier = np.asarray(vm.frontier_mask(state, grid, cfg))
+        assert (frontier & ~free).sum() == 0
+
+    def test_dilate_matches_scipy(self, sim):
+        from scipy.ndimage import binary_dilation
+
+        cfg = vm.VoxelConfig()
+        grid = vm.VoxelGrid.create(sim.bbox, cfg)
+        rng = np.random.default_rng(0)
+        mask = rng.uniform(size=grid.num_voxels) > 0.9
+        offs = vm.sphere_offsets(1.5)
+        got = np.asarray(vm.dilate(jnp.asarray(mask), grid, offs))
+        elem = np.zeros((3, 3, 3), bool)
+        for o in offs:
+            elem[o[0] + 1, o[1] + 1, o[2] + 1] = True
+        want = binary_dilation(mask.reshape(grid.dim), structure=elem).reshape(-1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_update_utility_roi(self, sim, frames):
+        cfg = vm.VoxelConfig(min_gaussian_per_voxel=2)
+        grid = vm.VoxelGrid.create(sim.bbox, cfg)
+        vstate = vm.init_state(grid)
+        for f in frames:
+            vstate = vm.update(vstate, grid, f)
+        state = gm.init_state(MAPCFG)
+        state, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        n = state.capacity
+        vstate = vm.update_utility(
+            vstate,
+            grid,
+            cfg,
+            state.means,
+            gm.normals_of(state),
+            jnp.zeros(n),  # all low confidence
+            jnp.full(n, 0.9),  # high opacity
+            state.alive,
+        )
+        roi = np.asarray(vstate.roi_mask)
+        assert roi.sum() > 0
+        norms = np.linalg.norm(np.asarray(vstate.voxel_normal), axis=1)
+        assert ((norms > 0.99) | (norms < 1e-6)).all()
+
+    def test_visibility(self, sim, frames):
+        cfg = vm.VoxelConfig()
+        grid = vm.VoxelGrid.create(sim.bbox, cfg)
+        f = frames[0]
+        vis = np.asarray(
+            vm.visible_mask(
+                vm.init_state(grid), grid, f["extrinsic"], f["intrinsic"],
+                jnp.where(f["depth"][0] == -1.0, f["depth_range"][1], f["depth"][0]),
+            )
+        )
+        assert 0 < vis.sum() < grid.num_voxels
