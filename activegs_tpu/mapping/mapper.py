@@ -1,0 +1,146 @@
+"""Incremental mapper: the online active-reconstruction mission loop.
+
+Equivalent of `IncrementalMapper` (`mapping/mapper.py:10-129`): plan ->
+sense -> update gaussian map (spawn + N optimizer steps + confidence/prune)
+-> update voxel map -> record, until the simulated-time budget runs out.
+Host code orchestrates; every heavy step is one of the jitted programs from
+trainer.py / voxel_map.py / the planner.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.recorder import MissionRecorder
+from ..render.types import RasterConfig
+from . import gaussians as gm
+from . import keyframes as kfb
+from . import trainer
+from . import voxel_map as vm
+
+
+class IncrementalMapper:
+    def __init__(
+        self,
+        map_cfg: gm.MapConfig = gm.MapConfig(),
+        voxel_cfg: vm.VoxelConfig = vm.VoxelConfig(),
+        raster_cfg: RasterConfig = RasterConfig(),
+        keyframe_capacity: int = 256,
+        seed: int = 0,
+        viewer=None,
+    ):
+        self.map_cfg = map_cfg
+        self.voxel_cfg = voxel_cfg
+        self.raster_cfg = raster_cfg
+        self.keyframe_capacity = keyframe_capacity
+        self.key = jax.random.PRNGKey(seed)
+        self.viewer = viewer  # optional viz.viewer.MissionViewer
+
+        self.simulator = None
+        self.planner = None
+        self.recorder: Optional[MissionRecorder] = None
+
+        self.gm_state: Optional[gm.GaussianMapState] = None
+        self.vm_state: Optional[vm.VoxelMapState] = None
+        self.grid: Optional[vm.VoxelGrid] = None
+        self.keyframes: Optional[kfb.KeyframeBuffer] = None
+        self.frame_id = 0
+
+    # component wiring (`mapper.py:30-40`)
+    def load_simulator(self, simulator):
+        self.simulator = simulator
+
+    def load_planner(self, planner):
+        self.planner = planner
+
+    def load_recorder(self, recorder):
+        self.recorder = recorder
+
+    def init_map(self):
+        """(`mapper.py:42-45`)"""
+        self.gm_state = gm.init_state(self.map_cfg)
+        self.grid = vm.VoxelGrid.create(self.simulator.bbox, self.voxel_cfg)
+        self.vm_state = vm.init_state(self.grid)
+        h, w = (int(x) for x in self.simulator.resolution)
+        self.keyframes = kfb.init_buffer(self.keyframe_capacity, h, w)
+
+    def get_new_dataframe(self):
+        """Plan to the NBV and sense there (`mapper.py:47-71`)."""
+        path = self.planner.plan(
+            self.gm_state, self.vm_state, self.grid, self.simulator, self.recorder
+        )
+        return self.simulator.simulate(np.asarray(path[-1])), path
+
+    def step(self):
+        """One mission iteration (`mapper.py:89-125`)."""
+        frame, path = self.get_new_dataframe()
+
+        t0 = time.time()
+        # gaussian map update (`GaussianMap.update`, `gaussian_map.py:62-64`)
+        self.gm_state, n_new = gm.spawn(
+            self.gm_state, frame, self.map_cfg, self.raster_cfg
+        )
+        self.keyframes = kfb.add_frame(self.keyframes, frame)
+        self.key, sub = jax.random.split(self.key)
+        self.gm_state, self.keyframes, loss = trainer.train_keyframe(
+            self.gm_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
+        )
+        n_frames = int(self.keyframes.count)
+        require_prune = n_frames % self.map_cfg.prune_interval == 0
+        self.gm_state, n_pruned = trainer.post_process(
+            self.gm_state,
+            self.keyframes,
+            frame["depth_range"][1],
+            self.map_cfg,
+            self.raster_cfg,
+            require_prune=require_prune,
+        )
+        # voxel map update
+        self.vm_state = vm.update(self.vm_state, self.grid, frame)
+        jax.block_until_ready(self.vm_state.log_odds)
+        t_mapping = time.time() - t0
+
+        self.frame_id += 1
+        stats = {
+            "frame_id": self.frame_id,
+            "loss": float(loss),
+            "n_new": int(n_new),
+            "n_pruned": int(n_pruned),
+            "n_gaussians": int(self.gm_state.count),
+            "t_mapping": t_mapping,
+        }
+
+        if self.viewer is not None:
+            self.viewer.on_step(self, frame, path, stats)
+
+        if self.recorder is not None:
+            self.recorder.update_time("mapping", t_mapping)
+            self.recorder.log()
+            self.recorder.save_dataframe(frame, f"{self.frame_id:03d}")
+            if self.recorder.require_record:
+                self.recorder.save_map(
+                    self.gm_state, self.map_cfg, f"{self.frame_id:03d}"
+                )
+                self.recorder.save_path()
+        return stats
+
+    def run(self, max_steps: Optional[int] = None):
+        """Run the mission until the budget expires (`mapper.py:73-129`)."""
+        self.init_map()
+        while self.recorder is None or self.recorder.is_alive:
+            stats = self.step()
+            print(
+                f" step {stats['frame_id']}: loss {stats['loss']:.4f}, "
+                f"{stats['n_gaussians']} gaussians (+{stats['n_new']}/-{stats['n_pruned']}), "
+                f"mapping {stats['t_mapping']:.2f}s"
+            )
+            if max_steps is not None and self.frame_id >= max_steps:
+                break
+        if self.recorder is not None:
+            self.recorder.save_map(self.gm_state, self.map_cfg, "final")
+            self.recorder.save_path()

