@@ -389,7 +389,7 @@ def _stats_kernel(
     px, py = _tile_pixel_coords(t, ntx, cfg)
     mask = mask_ref[0]  # (8, P) broadcast rows; row 0 is the real mask
     pix_mask = mask[0:1, :]
-    thres = thres_ref[0]
+    thres = thres_ref[0, 0]
 
     def wdma(chunk):
         off = pl.multiple_of(start + chunk * kchunk, kchunk)
