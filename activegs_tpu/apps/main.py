@@ -1,0 +1,43 @@
+"""Mission entry point — the analog of the reference's `main.py`.
+
+    python -m activegs_tpu.apps.main planner=confidence scene=synthetic/boxroom \
+        experiment.budget=300 use_gui=true
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..io.recorder import MissionRecorder
+from .common import build_mission, dump_config, experiment_path, parse_cli
+
+
+def main():
+    cfg = parse_cli("main")
+    viewer = None
+    if cfg.get("use_gui", False):
+        from ..viz.viewer import MissionViewer
+
+        viewer = MissionViewer(os.path.join(experiment_path(cfg), "viewer"))
+
+    mapper, simulator, planner, comp = build_mission(cfg, viewer=viewer)
+
+    if cfg.get("debug", False):
+        recorder = None  # (`main.py:27-28`)
+    else:
+        path = experiment_path(cfg)
+        dump_config(cfg, path)
+        recorder = MissionRecorder(
+            path,
+            budget=cfg.experiment.budget,
+            record_interval=cfg.experiment.record_interval,
+            record_rgbd=cfg.experiment.get("record_rgbd", False),
+            record_global_path=cfg.experiment.get("record_global_path", True),
+        )
+        mapper.load_recorder(recorder)
+
+    mapper.run(max_steps=cfg.get("max_steps", None))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Rendering + mesh quality metrics.
+
+Equivalents of `mapping/utils.py:269-292` (PSNR/SSIM/LPIPS/MSE) and
+`utils/operations.py:55-98` (mesh accuracy/completion/completion-ratio/
+chamfer via KD-trees). LPIPS uses torchmetrics' AlexNet backbone when its
+pretrained weights are available locally; otherwise it is reported as None
+(this machine has no network egress to download them).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..core.image_ops import ssim as _ssim_jnp
+
+
+def cal_mse(pred, gt, mask=1.0) -> float:
+    """(`cal_mse`, `mapping/utils.py:269-271`)."""
+    return float(jnp.mean(((pred - gt) * mask) ** 2))
+
+
+def cal_psnr(rgb_pred, rgb_gt) -> float:
+    """(`cal_psnr`, `mapping/utils.py:274-277`)."""
+    return -10.0 * math.log10(cal_mse(rgb_pred, rgb_gt) + 1e-8)
+
+
+def cal_ssim(rgb_pred, rgb_gt) -> float:
+    """(`cal_ssim`, `mapping/utils.py:280-283`)."""
+    return float(_ssim_jnp(jnp.asarray(rgb_pred)[None], jnp.asarray(rgb_gt)[None]))
+
+
+_lpips_model = None
+_lpips_failed = False
+
+
+def cal_lpips(rgb_pred, rgb_gt) -> Optional[float]:
+    """(`cal_lpips`, `mapping/utils.py:286-288`); None if AlexNet weights
+    are unavailable offline."""
+    global _lpips_model, _lpips_failed
+    if _lpips_failed:
+        return None
+    if _lpips_model is None:
+        # constructing the metric downloads AlexNet weights; with no network
+        # egress that HANGS, so require the torch hub cache to exist first
+        import glob
+        import os
+
+        hub_dir = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+        if not glob.glob(os.path.join(hub_dir, "alexnet*")):
+            _lpips_failed = True
+            return None
+        try:
+            from torchmetrics.image.lpip import (
+                LearnedPerceptualImagePatchSimilarity,
+            )
+
+            _lpips_model = LearnedPerceptualImagePatchSimilarity(
+                net_type="alex", normalize=True
+            )
+        except Exception:
+            _lpips_failed = True
+            return None
+    import torch
+
+    p = torch.from_numpy(np.asarray(rgb_pred, np.float32))[None].clamp(0, 1)
+    g = torch.from_numpy(np.asarray(rgb_gt, np.float32))[None].clamp(0, 1)
+    with torch.no_grad():
+        return float(_lpips_model(p, g))
+
+
+# ---------------------------------------------------------------------------
+# mesh metrics (`utils/operations.py:55-98`)
+# ---------------------------------------------------------------------------
+
+
+def sample_surface(vertices: np.ndarray, faces: np.ndarray, n: int, seed=0):
+    """Area-weighted uniform surface sampling (trimesh.sample.sample_surface
+    replacement; the reference samples 500k points per mesh,
+    `operations.py:61-65`)."""
+    rng = np.random.default_rng(seed)
+    v = vertices[faces]  # (F, 3, 3)
+    cross = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=1)
+    total = area.sum()
+    if total <= 0:
+        return np.zeros((0, 3), np.float32)
+    probs = area / total
+    tri = rng.choice(len(faces), size=n, p=probs)
+    r1 = np.sqrt(rng.uniform(size=n))
+    r2 = rng.uniform(size=n)
+    a = 1 - r1
+    b = r1 * (1 - r2)
+    c = r1 * r2
+    pts = a[:, None] * v[tri, 0] + b[:, None] * v[tri, 1] + c[:, None] * v[tri, 2]
+    return pts.astype(np.float32)
+
+
+def accuracy(gt_points, rec_points) -> float:
+    """Mean distance rec -> gt (`operations.py:87-91`)."""
+    d, _ = cKDTree(gt_points).query(rec_points, workers=-1)
+    return float(np.mean(d))
+
+
+def completion(gt_points, rec_points) -> float:
+    """Mean distance gt -> rec (`operations.py:94-98`)."""
+    d, _ = cKDTree(rec_points).query(gt_points, workers=-1)
+    return float(np.mean(d))
+
+
+def completion_ratio(gt_points, rec_points, dist_th=0.01) -> float:
+    """(`operations.py:80-84`)."""
+    d, _ = cKDTree(rec_points).query(gt_points, workers=-1)
+    return float(np.mean((d < dist_th).astype(np.float32)))
+
+
+def calc_3d_mesh_metric(
+    mesh_rec: tuple, mesh_gt: tuple, dist_thres=0.05, n_samples=500_000
+):
+    """(accuracy cm, completion cm, completion-ratio %, chamfer)
+    (`calc_3d_mesh_metric`, `operations.py:55-77`). Meshes are
+    (vertices, faces) tuples."""
+    rec_pc = sample_surface(*mesh_rec, n_samples, seed=0)
+    gt_pc = sample_surface(*mesh_gt, n_samples, seed=1)
+    acc = accuracy(gt_pc, rec_pc)
+    comp = completion(gt_pc, rec_pc)
+    chamfer = (acc + comp) / 2.0
+    ratio = completion_ratio(gt_pc, rec_pc, dist_th=dist_thres)
+    return acc * 100.0, comp * 100.0, ratio * 100.0, chamfer

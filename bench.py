@@ -1,0 +1,145 @@
+"""Benchmark: differentiable-rasterizer training throughput (rays/s, fwd+bwd).
+
+Runs the reference workload shape (BASELINE.md: 10 Adam iterations x 8-view
+batch at 512x512 per keyframe, `config/mapper/incremental.yaml:18,24`) on a
+realistic surfel count and reports rays/s through the full train step
+(render all channels + 4-term loss + backward + Adam update).
+
+vs_baseline normalizes against 2.0e8 rays/s — an estimate of the reference
+CUDA tile rasterizer's fwd+bwd throughput on its tested single-GPU platform
+(BASELINE.json `published` is empty; 3DGS-class rasterizers land at
+~1-2 ms/512^2 view fwd+bwd on consumer GPUs => ~1.3-5e8 rays/s).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_S = 2.0e8
+
+
+def main():
+    from activegs_tpu import runtime
+
+    runtime.setup_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from activegs_tpu.core import quaternions as quat
+    from activegs_tpu.mapping import gaussians as gm
+    from activegs_tpu.mapping import keyframes as kf
+    from activegs_tpu.mapping import trainer
+    from activegs_tpu.render.types import RasterConfig
+
+    res = int(os.environ.get("BENCH_RES", 512))
+    n_gauss = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    batch = 8
+
+    cfg = gm.MapConfig(capacity=1 << 18, batch_size=batch, optimization_steps=steps)
+    raster_cfg = RasterConfig(entry_mult=4.0)
+
+    # synthetic but realistic map: camera-facing surfels filling a room shell
+    rng = np.random.default_rng(0)
+    import dataclasses
+
+    state = gm.init_state(cfg)
+    # points on the walls of a 6x5x3 room as seen from its center
+    u = rng.uniform(0, 1, n_gauss)
+    pts = np.zeros((n_gauss, 3), np.float32)
+    face = rng.integers(0, 5, n_gauss)
+    r2 = rng.uniform(0, 1, (n_gauss, 2))
+    dims = np.array([6.0, 5.0, 3.0])
+    for f in range(5):
+        m = face == f
+        axis = f % 3
+        side = f // 3
+        p = np.zeros((m.sum(), 3))
+        other = [a for a in range(3) if a != axis]
+        p[:, other[0]] = r2[m, 0] * dims[other[0]]
+        p[:, other[1]] = r2[m, 1] * dims[other[1]]
+        p[:, axis] = side * dims[axis]
+        pts[m] = p
+    normals = np.zeros((n_gauss, 3), np.float32)
+    for f in range(5):
+        m = face == f
+        axis = f % 3
+        side = f // 3
+        normals[m, axis] = 1.0 - 2.0 * side
+    q, _ = quat.normal_to_quaternion(jnp.asarray(normals))
+    scales_raw = np.zeros((n_gauss, 3), np.float32)
+    scales_raw[:, 2] = -20.0
+    state = dataclasses.replace(
+        state,
+        means=state.means.at[:n_gauss].set(jnp.asarray(pts)),
+        rotations_raw=state.rotations_raw.at[:n_gauss].set(q),
+        scales_raw=state.scales_raw.at[:n_gauss].set(jnp.asarray(scales_raw)),
+        opacities_raw=state.opacities_raw.at[:n_gauss].set(1.0),
+        colors=state.colors.at[:n_gauss].set(
+            jnp.asarray(rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32))
+        ),
+        count=jnp.int32(n_gauss),
+    )
+
+    # keyframes looking at the walls from the room center
+    from activegs_tpu.core import geometry as geo
+    from activegs_tpu.planning.paths import rotation_from_z
+
+    buf = kf.init_buffer(8, res, res)
+    intr = geo.intrinsics_from_fov(60.0, 60.0)
+    center = dims / 2
+    for i in range(8):
+        ang = 2 * np.pi * i / 8
+        look = np.array([np.cos(ang), np.sin(ang), 0.05])
+        e = np.eye(4, dtype=np.float32)
+        e[:3, :3] = rotation_from_z(look)[0]
+        e[:3, 3] = center
+        frame = {
+            "rgb": jnp.asarray(rng.uniform(0, 1, (3, res, res)).astype(np.float32)),
+            "depth": jnp.asarray(
+                rng.uniform(1.0, 4.0, (1, res, res)).astype(np.float32)
+            ),
+            "extrinsic": jnp.asarray(e),
+            "intrinsic": intr,
+            "depth_range": jnp.asarray([0.0, 5.0]),
+        }
+        buf = kf.add_frame(buf, frame)
+
+    key = jax.random.PRNGKey(0)
+    run = lambda s, b, k: trainer.train_keyframe(s, b, k, cfg, raster_cfg, steps=steps)
+
+    # warm up (compile)
+    s1, b1, _ = run(state, buf, key)
+    jax.block_until_ready(s1.means)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        s1, b1, _ = run(state, buf, jax.random.PRNGKey(i))
+        jax.block_until_ready(s1.means)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    rays = steps * batch * res * res
+    rays_per_s = rays / t
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s_fwd_bwd",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
