@@ -135,8 +135,7 @@ def build_components(cfg: ConfigNode):
     )
     r = cfg.mapper.get("raster", {})
     raster_cfg = RasterConfig(
-        entry_mult=r.get("entry_mult", 4.0),
-        max_dup=r.get("max_dup", 16),
+        max_dup=r.get("max_dup", 4),
         interpret=r.get("interpret", None),
     )
     p = cfg.planner

@@ -31,12 +31,6 @@ class BinResult:
     num_dropped: jnp.ndarray  # () int32, entries lost to the budget cap
 
 
-def entry_capacity(n: int, num_tiles: int, cfg: RasterConfig) -> int:
-    budget = int(round(n * cfg.entry_mult))
-    budget = -(-budget // cfg.chunk) * cfg.chunk
-    return budget + num_tiles * (cfg.chunk - 1)
-
-
 def bin_entries(
     mean_x: jnp.ndarray,
     mean_y: jnp.ndarray,
@@ -46,17 +40,21 @@ def bin_entries(
     image_shape: tuple[int, int],
     cfg: RasterConfig,
 ) -> BinResult:
+    """Scatter-free expansion: XLA TPU lowers every scattered `.at[].set`
+    through an internal index sort, so the entry list is built DENSE — a
+    (max_dup, N) key grid with sentinels — and compacted by the one real
+    sort. The only scatter left is the K-alignment re-pad."""
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
     num_tiles = ntx * nty
     assert num_tiles <= MAX_TILES, "image too large for 12-bit tile ids"
     n = mean_x.shape[0]
-    assert n < (1 << RANK_BITS), "too many gaussians for 20-bit depth ranks"
+    assert n < (1 << RANK_BITS) - 1, "too many gaussians for 20-bit depth ranks"
     kchunk = cfg.chunk
-    budget = int(round(n * cfg.entry_mult))
-    budget = -(-budget // kchunk) * kchunk
-    e_alloc = budget + num_tiles * (kchunk - 1)
+    max_dup = cfg.max_dup
+    e_alloc = max_dup * n + num_tiles * (kchunk - 1)
+    e_alloc = -(-e_alloc // kchunk) * kchunk
 
     # --- clamped tile span, capped at max_dup tiles (centered shrink) ---
     tx0 = jnp.clip(jnp.floor((mean_x - radius) / cfg.tile_w), 0, ntx - 1).astype(
@@ -74,10 +72,10 @@ def bin_entries(
     sw = tx1 - tx0 + 1
     sh = ty1 - ty0 + 1
     area = sw * sh
-    shrink = jnp.sqrt(cfg.max_dup / jnp.maximum(area, 1).astype(jnp.float32))
-    sw_c = jnp.where(area > cfg.max_dup, jnp.floor(sw * shrink), sw).astype(jnp.int32)
+    shrink = jnp.sqrt(max_dup / jnp.maximum(area, 1).astype(jnp.float32))
+    sw_c = jnp.where(area > max_dup, jnp.floor(sw * shrink), sw).astype(jnp.int32)
     sw_c = jnp.clip(sw_c, 1, sw)
-    sh_c = jnp.minimum(cfg.max_dup // sw_c, sh)
+    sh_c = jnp.minimum(max_dup // sw_c, sh)
     # recenter the capped span on the projected mean
     ctx = jnp.clip((mean_x / cfg.tile_w).astype(jnp.int32), tx0, tx1)
     cty = jnp.clip((mean_y / cfg.tile_h).astype(jnp.int32), ty0, ty1)
@@ -85,35 +83,34 @@ def bin_entries(
     ty0c = jnp.clip(cty - (sh_c - 1) // 2, ty0, ty1 - sh_c + 1)
 
     dup = jnp.where(in_view, sw_c * sh_c, 0)
-    slot0 = jnp.cumsum(dup) - dup  # exclusive prefix
-    total_entries = slot0[-1] + dup[-1] if n else jnp.int32(0)
-    num_dropped = jnp.maximum(total_entries - budget, 0)
+    num_dropped = jnp.sum(
+        jnp.where(in_view, sw * sh - sw_c * sh_c, 0)
+    )  # span truncation, not budget overflow (dense layout never overflows)
 
     # depth rank: dense ordering of camera z among in-view gaussians
     order = jnp.argsort(jnp.where(in_view, depth_z, jnp.inf))
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
+    # dense (max_dup, N) key grid
+    j = jnp.arange(max_dup, dtype=jnp.int32)[:, None]
+    sel = j < dup[None, :]
+    r = j // sw_c[None, :]
+    c = j % sw_c[None, :]
+    tile = (ty0c[None, :] + r) * ntx + (tx0c[None, :] + c)
+    key = (tile.astype(jnp.uint32) << RANK_BITS) | rank[None, :].astype(jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
-    keys = jnp.full((e_alloc,), sentinel, jnp.uint32)
-    gids = jnp.full((e_alloc,), -1, jnp.int32)
-
-    def body(j, carry):
-        keys, gids = carry
-        sel = j < dup
-        r = j // sw_c
-        c = j % sw_c
-        tile = (ty0c + r) * ntx + (tx0c + c)
-        key = (tile.astype(jnp.uint32) << RANK_BITS) | rank.astype(jnp.uint32)
-        slot = jnp.where(sel, slot0 + j, e_alloc)  # out of range -> dropped
-        keys = keys.at[slot].set(key, mode="drop")
-        gids = gids.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        return keys, gids
-
-    keys, gids = jax.lax.fori_loop(0, cfg.max_dup, body, (keys, gids))
+    keys = jnp.where(sel, key, sentinel).reshape(-1)
+    gids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (max_dup, n)
+    ).reshape(-1)
+    pad = e_alloc - keys.shape[0]
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full((pad,), sentinel, jnp.uint32)])
+        gids = jnp.concatenate([gids, jnp.full((pad,), -1, jnp.int32)])
 
     keys_sorted, gid_sorted = jax.lax.sort((keys, gids), num_keys=1)
 
-    # --- per-tile segments + K-aligned re-pad ---
+    # --- per-tile segments + K-aligned re-pad (one monotone scatter) ---
     tile_keys = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)) << RANK_BITS
     starts = jnp.searchsorted(keys_sorted, tile_keys, side="left").astype(jnp.int32)
     seg_len = starts[1:] - starts[:-1]  # (T,)

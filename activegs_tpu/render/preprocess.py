@@ -5,6 +5,11 @@ Pure jnp and fully differentiable — this is the half of the CUDA rasterizer's
 reference at `visualization/gl_render/shaders/gau_vert.glsl:60-156`) that
 carries gradients. JAX autodiff transposes it for the backward pass, so only
 the tile compositor needs a hand-written VJP.
+
+TPU layout note: everything is computed on flat (N,) component arrays —
+(N, 3)/(N, 3, 3) layouts put tiny trailing dims in the lane dimension and
+waste ~97% of the VPU, which measured as a ~40x slowdown. The small-matrix
+algebra (R(q), covariances, J W products) is therefore unrolled by hand.
 """
 
 from __future__ import annotations
@@ -13,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core import geometry as geo
-from ..core import quaternions as quat
 from .types import PARAM_DIM, Camera, GaussianAttrs, RasterConfig
 
 
@@ -41,55 +45,88 @@ def preprocess(
     cy = k[1, 2] * h
 
     w2c = geo.invert_rigid(camera.extrinsic)
-    rot_w2c = w2c[:3, :3]
+    # rotation rows and translation as scalars (free at trace time)
+    r00, r01, r02 = w2c[0, 0], w2c[0, 1], w2c[0, 2]
+    r10, r11, r12 = w2c[1, 0], w2c[1, 1], w2c[1, 2]
+    r20, r21, r22 = w2c[2, 0], w2c[2, 1], w2c[2, 2]
+    t0, t1, t2 = w2c[0, 3], w2c[1, 3], w2c[2, 3]
 
-    p_cam = geo.apply_rotation(rot_w2c, attrs.means) + w2c[:3, 3]
-    z = p_cam[..., 2]
-    in_front = z > cfg.near
-    zs = jnp.where(in_front, z, 1.0)  # safe z for divisions
+    mx = attrs.means[:, 0]
+    my = attrs.means[:, 1]
+    mz = attrs.means[:, 2]
+    px = r00 * mx + r01 * my + r02 * mz + t0
+    py = r10 * mx + r11 * my + r12 * mz + t1
+    pz = r20 * mx + r21 * my + r22 * mz + t2
 
-    mean_x = fx * p_cam[..., 0] / zs + cx
-    mean_y = fy * p_cam[..., 1] / zs + cy
-
-    # --- EWA 2D covariance (gau_vert.glsl:82-107) ---
-    # cov3d = R diag(s^2) R^T with R columns = surfel axes
-    rmat = quat.quaternion_to_matrix(attrs.rotations)  # (N, 3, 3)
-    # M = R * diag(s): columns scaled. HIGHEST precision keeps these tiny
-    # matmuls in full f32 (TPU would otherwise use bf16 MXU passes).
-    m = rmat * attrs.scales[..., None, :]
-    cov3d = jnp.einsum("nij,nkj->nik", m, m, precision=jax.lax.Precision.HIGHEST)
-
-    # frustum-clamped point for the Jacobian
-    lim_x = cfg.tan_clamp * (0.5 * w / fx)  # tan(fov_x / 2) in camera units
-    lim_y = cfg.tan_clamp * (0.5 * h / fy)
-    tx = jnp.clip(p_cam[..., 0] / zs, -lim_x, lim_x) * zs
-    ty = jnp.clip(p_cam[..., 1] / zs, -lim_y, lim_y) * zs
-
-    # J = d(pixel)/d(cam): rows (fx/z, 0, -fx tx/z^2), (0, fy/z, -fy ty/z^2)
+    in_front = pz > cfg.near
+    zs = jnp.where(in_front, pz, 1.0)
     inv_z = 1.0 / zs
+
+    mean_x = fx * px * inv_z + cx
+    mean_y = fy * py * inv_z + cy
+
+    # --- rotation matrix components from the quaternion (wxyz) ---
+    qw = attrs.rotations[:, 0]
+    qx = attrs.rotations[:, 1]
+    qy = attrs.rotations[:, 2]
+    qz = attrs.rotations[:, 3]
+    R00 = 1 - 2 * (qy * qy + qz * qz)
+    R01 = 2 * (qx * qy - qw * qz)
+    R02 = 2 * (qx * qz + qw * qy)
+    R10 = 2 * (qx * qy + qw * qz)
+    R11 = 1 - 2 * (qx * qx + qz * qz)
+    R12 = 2 * (qy * qz - qw * qx)
+    R20 = 2 * (qx * qz - qw * qy)
+    R21 = 2 * (qy * qz + qw * qx)
+    R22 = 1 - 2 * (qx * qx + qy * qy)
+
+    s0 = attrs.scales[:, 0] ** 2
+    s1 = attrs.scales[:, 1] ** 2
+    s2 = attrs.scales[:, 2] ** 2
+
+    # cov3d = R diag(s^2) R^T, 6 unique world-frame entries
+    c00 = s0 * R00 * R00 + s1 * R01 * R01 + s2 * R02 * R02
+    c01 = s0 * R00 * R10 + s1 * R01 * R11 + s2 * R02 * R12
+    c02 = s0 * R00 * R20 + s1 * R01 * R21 + s2 * R02 * R22
+    c11 = s0 * R10 * R10 + s1 * R11 * R11 + s2 * R12 * R12
+    c12 = s0 * R10 * R20 + s1 * R11 * R21 + s2 * R12 * R22
+    c22 = s0 * R20 * R20 + s1 * R21 * R21 + s2 * R22 * R22
+
+    # frustum-clamped Jacobian point (gau_vert.glsl:86-91)
+    lim_x = cfg.tan_clamp * (0.5 * w / fx)
+    lim_y = cfg.tan_clamp * (0.5 * h / fy)
+    tx = jnp.clip(px * inv_z, -lim_x, lim_x) * zs
+    ty = jnp.clip(py * inv_z, -lim_y, lim_y) * zs
+
+    # rows of T = J @ W (2x3): t0_i = j00 * W0i + j02 * W2i, etc.
     j00 = fx * inv_z
     j02 = -fx * tx * inv_z * inv_z
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z * inv_z
+    a0 = j00 * r00 + j02 * r20
+    a1 = j00 * r01 + j02 * r21
+    a2 = j00 * r02 + j02 * r22
+    b0 = j11 * r10 + j12 * r20
+    b1 = j11 * r11 + j12 * r21
+    b2 = j11 * r12 + j12 * r22
 
-    # T = J @ W (2x3), W = world->cam rotation; cov2d = T cov3d T^T
-    t0 = j00[..., None] * rot_w2c[0] + j02[..., None] * rot_w2c[2]  # (N, 3)
-    t1 = j11[..., None] * rot_w2c[1] + j12[..., None] * rot_w2c[2]
-    hi = jax.lax.Precision.HIGHEST
-    c0 = jnp.einsum("ni,nij->nj", t0, cov3d, precision=hi)
-    c1 = jnp.einsum("ni,nij->nj", t1, cov3d, precision=hi)
-    cov_a = jnp.sum(c0 * t0, -1) + cfg.lowpass
-    cov_b = jnp.sum(c0 * t1, -1)
-    cov_c = jnp.sum(c1 * t1, -1) + cfg.lowpass
+    # cov2d = T cov3d T^T (+ pixel low-pass, gau_vert.glsl:104-105)
+    ca0 = a0 * c00 + a1 * c01 + a2 * c02
+    ca1 = a0 * c01 + a1 * c11 + a2 * c12
+    ca2 = a0 * c02 + a1 * c12 + a2 * c22
+    cov_a = ca0 * a0 + ca1 * a1 + ca2 * a2 + cfg.lowpass
+    cov_b = ca0 * b0 + ca1 * b1 + ca2 * b2
+    cb0 = b0 * c00 + b1 * c01 + b2 * c02
+    cb1 = b0 * c01 + b1 * c11 + b2 * c12
+    cb2 = b0 * c02 + b1 * c12 + b2 * c22
+    cov_c = cb0 * b0 + cb1 * b1 + cb2 * b2 + cfg.lowpass
 
     det = cov_a * cov_c - cov_b * cov_b
-    det_safe = jnp.maximum(det, 1e-12)
-    inv_det = 1.0 / det_safe
+    inv_det = 1.0 / jnp.maximum(det, 1e-12)
     conic_a = cov_c * inv_det
     conic_b = -cov_b * inv_det
     conic_c = cov_a * inv_det
 
-    # bbox radius: 3 sigma of the max eigenvalue (3DGS convention)
     mid = 0.5 * (cov_a + cov_c)
     eig_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(cfg.sigma_extent * jnp.sqrt(eig_max))
@@ -100,14 +137,16 @@ def preprocess(
     # depth-derived camera-frame normals in the consistency loss,
     # `mapping/utils.py:14-16`, and with camera ray dirs at
     # `utils/operations.py:716`)
-    n_world = rmat[..., :, 2]
-    n_cam = geo.apply_rotation(rot_w2c, n_world)
-    plane_dot = jnp.sum(n_cam * p_cam, -1)  # n . p  (plane offset)
-    # t(u, v) = plane_dot / (n . r), r = ((u-cx)/fx, (v-cy)/fy, 1)
+    nwx, nwy, nwz = R02, R12, R22
+    ncx = r00 * nwx + r01 * nwy + r02 * nwz
+    ncy = r10 * nwx + r11 * nwy + r12 * nwz
+    ncz = r20 * nwx + r21 * nwy + r22 * nwz
+    plane_dot = ncx * px + ncy * py + ncz * pz
+    # t(u, v) = plane_dot / (n . r), r = ((u-cx)/fx, (v-cy)/fy, 1),
     # expressed as D / (A u + B v + C):
-    pa = n_cam[..., 0] / fx
-    pb = n_cam[..., 1] / fy
-    pc = n_cam[..., 2] - pa * cx - pb * cy
+    pa = ncx / fx
+    pb = ncy / fy
+    pc = ncz - pa * cx - pb * cy
     pd = plane_dot
 
     in_view = (
@@ -132,24 +171,24 @@ def preprocess(
         conic_b,
         conic_c,
         attrs.opacities,
-        attrs.colors[..., 0],
-        attrs.colors[..., 1],
-        attrs.colors[..., 2],
-        n_cam[..., 0],
-        n_cam[..., 1],
-        n_cam[..., 2],
+        attrs.colors[:, 0],
+        attrs.colors[:, 1],
+        attrs.colors[:, 2],
+        ncx,
+        ncy,
+        ncz,
         pa,
         pb,
         pc,
         pd,
         attrs.confidences,
-        z,
+        pz,
     ]
     rows += [zero] * (PARAM_DIM - len(rows))
     params2d = jnp.stack(rows, axis=0).astype(jnp.float32)
     # zero out invalid gaussians so stray entries are inert
     params2d = jnp.where(in_view[None, :], params2d, 0.0)
-    return params2d, jnp.where(in_view, radius, 0.0), z, in_view
+    return params2d, jnp.where(in_view, radius, 0.0), pz, in_view
 
 
 def eval_alpha_depth_cols(

@@ -98,8 +98,7 @@ class RasterConfig:
     tile_h: int = 32
     tile_w: int = 32
     chunk: int = 128  # entries per compositing chunk (K)
-    max_dup: int = 16  # cap on tiles covered per gaussian
-    entry_mult: float = 3.0  # entry budget = round(N * entry_mult)
+    max_dup: int = 4  # tiles covered per gaussian (dense expansion grid)
     alpha_cut: float = 1.0 / 255.0  # per-sample alpha cutoff (gau_frag.glsl:23)
     alpha_max: float = 0.99  # alpha clamp (gau_frag.glsl:20)
     term_eps: float = 1.0 / 255.0  # early-termination transmittance

@@ -44,7 +44,7 @@ def main():
     batch = 8
 
     cfg = gm.MapConfig(capacity=1 << 18, batch_size=batch, optimization_steps=steps)
-    raster_cfg = RasterConfig(entry_mult=4.0)
+    raster_cfg = RasterConfig()
 
     # synthetic but realistic map: camera-facing surfels filling a room shell
     rng = np.random.default_rng(0)
