@@ -112,17 +112,23 @@ def main():
         }
         buf = kf.add_frame(buf, frame)
 
-    key = jax.random.PRNGKey(0)
     run = lambda s, b, k: trainer.train_keyframe(s, b, k, cfg, raster_cfg, steps=steps)
 
+    def perturbed(i):
+        # unique inputs per call: the serving stack memoizes identical
+        # (executable, input) executions, which would fake the timing
+        return dataclasses.replace(
+            state, means=state.means + jnp.float32(1e-6) * (i + 1)
+        )
+
     # warm up (compile)
-    s1, b1, _ = run(state, buf, key)
+    s1, b1, _ = run(perturbed(-1), buf, jax.random.PRNGKey(99))
     jax.block_until_ready(s1.means)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        s1, b1, _ = run(state, buf, jax.random.PRNGKey(i))
+        s1, b1, _ = run(perturbed(i), buf, jax.random.PRNGKey(i))
         jax.block_until_ready(s1.means)
         times.append(time.perf_counter() - t0)
     t = min(times)
