@@ -45,6 +45,7 @@ class MapConfig:
     spawn_voxel_size: float = 0.02  # dedup voxel (`operations.py:603-625`)
     batch_size: int = 8
     active_size: int = 3
+    resample_per_step: bool = False  # True = reference per-step resampling
     mean_lr: float = 5e-4
     rotation_lr: float = 5e-4
     opacity_lr: float = 1e-2

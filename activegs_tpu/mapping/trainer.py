@@ -63,6 +63,7 @@ def batch_loss(
     batch: tuple,
     cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
+    bins=None,
 ):
     """4-term mapping loss over a view batch (`gaussian_map.py:106-124`).
 
@@ -80,6 +81,7 @@ def batch_loss(
         (h, w),
         raster_cfg,
         background=jnp.asarray(cfg.background),
+        bins=bins,
     )
 
     mask_vis = jax.lax.stop_gradient(out.opacity) > 1e-3
@@ -115,12 +117,51 @@ def train_keyframe(
 ):
     """Run the per-keyframe optimization (`GaussianMap.train`,
     `gaussian_map.py:66-130`): fresh Adam, `steps` iterations of
-    sample-batch -> render -> loss -> update. Returns (state, buf, loss)."""
+    render-batch -> loss -> update.
+
+    TPU-first deviation: the view batch is sampled ONCE per keyframe and
+    its tile binning is frozen across the steps (binning carries no
+    gradient and screen positions move negligibly within a keyframe),
+    instead of the reference's per-step resampling + per-launch re-sort.
+    Set cfg.resample_per_step=True for reference-faithful behavior.
+    Returns (state, buf, loss)."""
     steps = cfg.optimization_steps if steps is None else steps
     opt = make_optimizer(cfg)
     params = _params_of(state)
     opt_state = opt.init(params)
     sample = kf.sample_weighted if sampler == "weighted" else kf.sample_uniform
+
+    if not cfg.resample_per_step:
+        key, k1 = jax.random.split(key)
+        ids = sample(buf, k1, cfg.batch_size, cfg.active_size)
+        batch = kf.decode_frames(buf, ids)
+        h, w = batch[0].shape[-2:]
+        attrs0 = gm.attrs_of(state, cfg)
+
+        from ..render.renderer import prepare_view_bins
+        from ..render.types import Camera
+
+        bins = jax.lax.map(
+            lambda c: prepare_view_bins(
+                attrs0, Camera(extrinsic=c[0], intrinsic=c[1]), (h, w), raster_cfg
+            ),
+            (batch[2], batch[3]),
+        )
+
+        def body(i, carry):
+            params, opt_state, buf, _ = carry
+            (loss, per_frame), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(params, state, batch, cfg, raster_cfg, bins)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            buf = kf.update_performance(buf, ids, per_frame)
+            return params, opt_state, buf, loss
+
+        params, opt_state, buf, last_loss = jax.lax.fori_loop(
+            0, steps, body, (params, opt_state, buf, jnp.float32(0.0))
+        )
+        return _with_params(state, params), buf, last_loss
 
     def body(i, carry):
         params, opt_state, buf, key, _ = carry

@@ -50,12 +50,25 @@ def _image_to_tiles(img: jnp.ndarray, image_shape, cfg: RasterConfig, rows: int)
     return jnp.concatenate([m, jnp.zeros_like(m).repeat(rows - 1, 1)], axis=1)
 
 
-def _prepare_entries(attrs, camera, image_shape, cfg, front_only):
+def prepare_view_bins(
+    attrs: GaussianAttrs,
+    camera: Camera,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig = RasterConfig(),
+    front_only: bool = False,
+) -> binning.BinResult:
+    """Compute the per-tile entry lists for a view (non-differentiable).
+
+    Binning only needs screen positions/radii/depth order, which move
+    negligibly within one keyframe's optimization steps — the trainer bins
+    each sampled view ONCE per keyframe and re-renders with frozen bins
+    (the CUDA reference re-sorts every launch; the indices carry no
+    gradient either way, `operations.py:853-892`)."""
     params2d, radius, depth_z, in_view = pp.preprocess(
         attrs, camera, image_shape, cfg, front_only=front_only
     )
     sg = jax.lax.stop_gradient
-    b = binning.bin_entries(
+    return binning.bin_entries(
         sg(params2d[0]),
         sg(params2d[1]),
         sg(radius),
@@ -64,6 +77,25 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only):
         image_shape,
         cfg,
     )
+
+
+def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=None):
+    params2d, radius, depth_z, in_view = pp.preprocess(
+        attrs, camera, image_shape, cfg, front_only=front_only
+    )
+    if bin_result is None:
+        sg = jax.lax.stop_gradient
+        b = binning.bin_entries(
+            sg(params2d[0]),
+            sg(params2d[1]),
+            sg(radius),
+            sg(depth_z),
+            in_view,
+            image_shape,
+            cfg,
+        )
+    else:
+        b = bin_result
     gidc = jnp.clip(b.gid, 0)
     mask = (b.gid >= 0)[None, :]
     # jnp.where (not multiply) so the VJP never touches uninitialized slots
@@ -78,18 +110,20 @@ def render_view(
     cfg: RasterConfig = RasterConfig(),
     front_only: bool = False,
     background: Optional[jnp.ndarray] = None,
+    bin_result: Optional[binning.BinResult] = None,
 ):
     """Render one view. Returns (RenderOutput, aux dict).
 
     aux carries `in_view` (the `radii > 0` frustum mask,
     `utils/operations.py:815`), `radius`, `transmittance` and the binning
-    drop counter.
+    drop counter. Pass `bin_result` (from prepare_view_bins) to reuse
+    frozen tile lists across optimization steps.
     """
     h, w = image_shape
     ntx, nty = _tile_grid(image_shape, cfg)
     num_tiles = ntx * nty
     entries, b, _, radius, in_view = _prepare_entries(
-        attrs, camera, image_shape, cfg, front_only
+        attrs, camera, image_shape, cfg, front_only, bin_result
     )
     static = (num_tiles, ntx, cfg)
     out_tiles = cp.composite_tiled(entries, b.tile_start, b.tile_len, static)
@@ -131,13 +165,15 @@ def render_views(
     cfg: RasterConfig = RasterConfig(),
     front_only: bool = False,
     background: Optional[jnp.ndarray] = None,
+    bins: Optional[binning.BinResult] = None,
 ):
     """Render a batch of views sequentially (`render_view_all` analog,
     `utils/operations.py:829-904`). extrinsics (V, 4, 4), intrinsics
-    (V, 3, 3). Returns (RenderOutput stacked over V, in_view_any (N,))."""
+    (V, 3, 3); `bins` optionally carries stacked per-view BinResults.
+    Returns (RenderOutput stacked over V, in_view_any (N,))."""
 
-    def one(cam_pair):
-        ext, intr = cam_pair
+    def one(args):
+        ext, intr, b = args
         out, aux = render_view(
             attrs,
             Camera(extrinsic=ext, intrinsic=intr),
@@ -145,10 +181,30 @@ def render_views(
             cfg,
             front_only=front_only,
             background=background,
+            bin_result=b,
         )
         return out, aux["in_view"]
 
-    outs, in_views = jax.lax.map(one, (extrinsics, intrinsics))
+    if bins is None:
+        v = extrinsics.shape[0]
+        h, w = image_shape
+        ntx, nty = _tile_grid(image_shape, cfg)
+
+        def one_nobin(cam_pair):
+            ext, intr = cam_pair
+            out, aux = render_view(
+                attrs,
+                Camera(extrinsic=ext, intrinsic=intr),
+                image_shape,
+                cfg,
+                front_only=front_only,
+                background=background,
+            )
+            return out, aux["in_view"]
+
+        outs, in_views = jax.lax.map(one_nobin, (extrinsics, intrinsics))
+    else:
+        outs, in_views = jax.lax.map(one, (extrinsics, intrinsics, bins))
     return outs, jnp.any(in_views, axis=0)
 
 

@@ -43,7 +43,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     batch = 8
 
-    cfg = gm.MapConfig(capacity=1 << 18, batch_size=batch, optimization_steps=steps)
+    cfg = gm.MapConfig(capacity=1 << 19, batch_size=batch, optimization_steps=steps)
     raster_cfg = RasterConfig()
 
     # synthetic but realistic map: camera-facing surfels filling a room shell
@@ -121,15 +121,20 @@ def main():
             state, means=state.means + jnp.float32(1e-6) * (i + 1)
         )
 
+    def materialize(s):
+        # this serving stack's block_until_ready does not actually block;
+        # pulling a value to the host is the only honest fence
+        return float(s.means[12345, 0])
+
     # warm up (compile)
     s1, b1, _ = run(perturbed(-1), buf, jax.random.PRNGKey(99))
-    jax.block_until_ready(s1.means)
+    materialize(s1)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         s1, b1, _ = run(perturbed(i), buf, jax.random.PRNGKey(i))
-        jax.block_until_ready(s1.means)
+        materialize(s1)
         times.append(time.perf_counter() - t0)
     t = min(times)
 
