@@ -117,19 +117,28 @@ def bin_entries(
     pad_len = -(-seg_len // kchunk) * kchunk
     pad_start = jnp.cumsum(pad_len) - pad_len
 
+    # compact output budget: downstream work scales with this, not with the
+    # dense sort size
+    e_budget = int(n * cfg.entry_budget_mult) + num_tiles * (kchunk - 1)
+    e_budget = min(-(-e_budget // kchunk) * kchunk, e_alloc)
+    start_c = jnp.minimum(pad_start, e_budget)
+    pad_len_c = jnp.minimum(pad_len, e_budget - start_c)
+    seg_len_c = jnp.minimum(seg_len, pad_len_c)
+    num_dropped = num_dropped + jnp.sum(seg_len - seg_len_c)
+
     pos = jnp.arange(e_alloc, dtype=jnp.int32)
     tile_of = (keys_sorted >> RANK_BITS).astype(jnp.int32)
     valid = tile_of < num_tiles
     tile_idx = jnp.clip(tile_of, 0, num_tiles - 1)
     new_pos = pad_start[tile_idx] + (pos - starts[:-1][tile_idx])
-    new_pos = jnp.where(valid, new_pos, e_alloc)
-    gid_padded = jnp.full((e_alloc,), -1, jnp.int32).at[new_pos].set(
+    new_pos = jnp.where(valid, new_pos, e_budget)
+    gid_padded = jnp.full((e_budget,), -1, jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop"
     )
 
     return BinResult(
         gid=gid_padded,
-        tile_start=pad_start,
-        tile_len=seg_len,
+        tile_start=start_c,
+        tile_len=seg_len_c,
         num_dropped=num_dropped,
     )

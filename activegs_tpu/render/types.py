@@ -99,6 +99,11 @@ class RasterConfig:
     tile_w: int = 32
     chunk: int = 128  # entries per compositing chunk (K)
     max_dup: int = 4  # tiles covered per gaussian (dense expansion grid)
+    # compact entry budget as a multiple of N: the sort runs on the dense
+    # max_dup*N grid, but everything downstream (gather, composite, backward)
+    # only touches the first entry_budget_mult*N slots — overflowing tiles
+    # lose their tail (reported via num_dropped)
+    entry_budget_mult: float = 2.0
     alpha_cut: float = 1.0 / 255.0  # per-sample alpha cutoff (gau_frag.glsl:23)
     alpha_max: float = 0.99  # alpha clamp (gau_frag.glsl:20)
     term_eps: float = 1.0 / 255.0  # early-termination transmittance

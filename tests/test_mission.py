@@ -17,7 +17,7 @@ from activegs_tpu.render.types import RasterConfig
 from activegs_tpu.sim.synthetic import BoxRoomSimulator
 
 RES = 64
-RASTER = RasterConfig(interpret=True)
+RASTER = RasterConfig(entry_budget_mult=4.0, interpret=True)
 MAPCFG = gm.MapConfig(capacity=8192, optimization_steps=3, bilateral_radius=2)
 VOXCFG = vm.VoxelConfig(map_resolution=(0.4, 0.4, 0.4))
 

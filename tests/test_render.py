@@ -17,8 +17,8 @@ from activegs_tpu.render.types import Camera, GaussianAttrs, RasterConfig
 
 # sigma_extent 3.5 makes the tile bbox cover everything above alpha_cut, so
 # dense (no binning) and tiled agree exactly
-CFG = RasterConfig(sigma_extent=3.5, max_dup=16, interpret=True)
-CFG_SMALL_CHUNK = RasterConfig(sigma_extent=3.5, max_dup=16, chunk=8, interpret=True)
+CFG = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, interpret=True)
+CFG_SMALL_CHUNK = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, chunk=8, interpret=True)
 
 
 def make_camera():
@@ -307,7 +307,7 @@ class TestBackward:
         # alpha_cut=0 removes the hard 1/255 cutoff, whose jump
         # discontinuity finite differences see but autodiff (correctly,
         # matching the CUDA reference's behavior) does not.
-        smooth_cfg = RasterConfig(sigma_extent=3.5, max_dup=16, alpha_cut=0.0, interpret=True)
+        smooth_cfg = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, alpha_cut=0.0, interpret=True)
         attrs = make_attrs(12, seed=9)
         cam = make_camera()
         shape = (32, 32)
