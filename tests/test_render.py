@@ -405,3 +405,34 @@ class TestStats:
             np.asarray(imp), np.asarray(ref["importance"]), atol=1e-3
         )
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref["count"]))
+
+
+class TestPrebinnedRender:
+    def test_frozen_bins_match_fresh(self):
+        # with unchanged params, rendering with prepare_view_bins-frozen
+        # tile lists must equal a fresh render exactly
+        from activegs_tpu.render.renderer import prepare_view_bins
+
+        attrs = make_attrs(96, seed=4)
+        cam = make_camera()
+        shape = (64, 64)
+        bins = prepare_view_bins(attrs, cam, shape, CFG)
+        out_fresh, _ = render_view(attrs, cam, shape, CFG)
+        out_frozen, _ = render_view(attrs, cam, shape, CFG, bin_result=bins)
+        np.testing.assert_array_equal(
+            np.asarray(out_fresh.rgb), np.asarray(out_frozen.rgb)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_fresh.depth), np.asarray(out_frozen.depth)
+        )
+
+    def test_entry_budget_overflow_drops_gracefully(self):
+        # a tiny budget must report drops and still render finite images
+        tight = RasterConfig(
+            sigma_extent=3.5, max_dup=16, entry_budget_mult=0.5, chunk=8,
+            interpret=True,
+        )
+        attrs = make_attrs(128, seed=6)
+        out, aux = render_view(attrs, make_camera(), (64, 64), tight)
+        assert int(aux["num_dropped"]) > 0
+        assert np.isfinite(np.asarray(out.rgb)).all()
