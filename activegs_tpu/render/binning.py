@@ -25,10 +25,14 @@ MAX_TILES = (1 << 12) - 1  # tile ids above this collide with the sentinel
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BinResult:
-    gid: jnp.ndarray  # (E_alloc,) int32, gaussian index per entry (-1 = pad)
+    gid: jnp.ndarray  # (E_budget,) int32, gaussian index per entry (-1 = pad)
     tile_start: jnp.ndarray  # (T,) int32, K-aligned segment starts
     tile_len: jnp.ndarray  # (T,) int32, real (unpadded) segment lengths
-    num_dropped: jnp.ndarray  # () int32, entries lost to the budget cap
+    num_dropped: jnp.ndarray  # () int32, entries lost to span/budget caps
+    # optional (with_inverse=True): entry slot of each dense (dup j, gaussian
+    # i) candidate, (max_dup, N) int32, -1 = absent — lets the gather's VJP
+    # be max_dup gathers instead of a scatter-add (which XLA TPU sorts)
+    inv_pos: jnp.ndarray | None = None
 
 
 def bin_entries(
@@ -39,6 +43,7 @@ def bin_entries(
     in_view: jnp.ndarray,
     image_shape: tuple[int, int],
     cfg: RasterConfig,
+    with_inverse: bool = False,
 ) -> BinResult:
     """Scatter-free expansion: XLA TPU lowers every scattered `.at[].set`
     through an internal index sort, so the entry list is built DENSE — a
@@ -100,15 +105,17 @@ def bin_entries(
     key = (tile.astype(jnp.uint32) << RANK_BITS) | rank[None, :].astype(jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(sel, key, sentinel).reshape(-1)
-    gids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (max_dup, n)
+    # payload = dense index j*N + i; gid = payload % N
+    payload = (
+        j * n + jnp.arange(n, dtype=jnp.int32)[None, :]
     ).reshape(-1)
     pad = e_alloc - keys.shape[0]
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), sentinel, jnp.uint32)])
-        gids = jnp.concatenate([gids, jnp.full((pad,), -1, jnp.int32)])
+        payload = jnp.concatenate([payload, jnp.full((pad,), -1, jnp.int32)])
 
-    keys_sorted, gid_sorted = jax.lax.sort((keys, gids), num_keys=1)
+    keys_sorted, payload_sorted = jax.lax.sort((keys, payload), num_keys=1)
+    gid_sorted = jnp.where(payload_sorted >= 0, payload_sorted % n, -1)
 
     # --- per-tile segments + K-aligned re-pad (one monotone scatter) ---
     tile_keys = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)) << RANK_BITS
@@ -136,9 +143,24 @@ def bin_entries(
         gid_sorted, mode="drop"
     )
 
+    inv_pos = None
+    if with_inverse:
+        payload_padded = jnp.full((e_budget,), -1, jnp.int32).at[new_pos].set(
+            payload_sorted, mode="drop"
+        )
+        dense = max_dup * n
+        target = jnp.where(payload_padded >= 0, payload_padded, dense)
+        inv_pos = (
+            jnp.full((dense + 1,), -1, jnp.int32)
+            .at[target]
+            .set(jnp.arange(e_budget, dtype=jnp.int32), mode="drop")[:dense]
+            .reshape(max_dup, n)
+        )
+
     return BinResult(
         gid=gid_padded,
         tile_start=start_c,
         tile_len=seg_len_c,
         num_dropped=num_dropped,
+        inv_pos=inv_pos,
     )

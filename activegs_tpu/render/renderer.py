@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import binning, composite_pallas as cp, preprocess as pp
 from .types import Camera, GaussianAttrs, RasterConfig, RenderOutput
@@ -56,6 +57,7 @@ def prepare_view_bins(
     image_shape: tuple[int, int],
     cfg: RasterConfig = RasterConfig(),
     front_only: bool = False,
+    with_inverse: bool = True,
 ) -> binning.BinResult:
     """Compute the per-tile entry lists for a view (non-differentiable).
 
@@ -76,7 +78,39 @@ def prepare_view_bins(
         in_view,
         image_shape,
         cfg,
+        with_inverse=with_inverse,
     )
+
+
+@jax.custom_vjp
+def _gather_entries_inv(params2d, gid_clipped, mask, inv_pos):
+    return jnp.where(mask, params2d[:, gid_clipped], 0.0)
+
+
+def _gather_entries_inv_fwd(params2d, gid_clipped, mask, inv_pos):
+    return _gather_entries_inv(params2d, gid_clipped, mask, inv_pos), (
+        gid_clipped,
+        mask,
+        inv_pos,
+    )
+
+
+def _gather_entries_inv_bwd(res, g):
+    """Adjoint of the entry gather via the precomputed inverse positions:
+    max_dup small gathers instead of one scatter-add over E (XLA TPU sorts
+    scatter indices; this path also never reads uninitialized grad slots)."""
+    gid_clipped, mask, inv_pos = res
+    max_dup = inv_pos.shape[0]
+    d = None
+    for jj in range(max_dup):
+        idx = inv_pos[jj]
+        gj = jnp.where((idx >= 0)[None, :], g[:, jnp.clip(idx, 0)], 0.0)
+        d = gj if d is None else d + gj
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d, f0(gid_clipped), f0(mask), f0(inv_pos)
+
+
+_gather_entries_inv.defvjp(_gather_entries_inv_fwd, _gather_entries_inv_bwd)
 
 
 def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=None):
@@ -98,8 +132,11 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
         b = bin_result
     gidc = jnp.clip(b.gid, 0)
     mask = (b.gid >= 0)[None, :]
-    # jnp.where (not multiply) so the VJP never touches uninitialized slots
-    entries = jnp.where(mask, params2d[:, gidc], 0.0)
+    if b.inv_pos is not None:
+        entries = _gather_entries_inv(params2d, gidc, mask, b.inv_pos)
+    else:
+        # jnp.where (not multiply) so the VJP never touches garbage slots
+        entries = jnp.where(mask, params2d[:, gidc], 0.0)
     return entries, b, params2d, radius, in_view
 
 

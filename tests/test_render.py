@@ -436,3 +436,41 @@ class TestPrebinnedRender:
         out, aux = render_view(attrs, make_camera(), (64, 64), tight)
         assert int(aux["num_dropped"]) > 0
         assert np.isfinite(np.asarray(out.rgb)).all()
+
+    def test_frozen_bins_gradients_match(self):
+        # gradients through the inverse-position gather VJP must equal the
+        # plain scatter-add path
+        from activegs_tpu.render.renderer import prepare_view_bins
+
+        attrs = make_attrs(64, seed=8)
+        cam = make_camera()
+        shape = (64, 64)
+        key = jax.random.PRNGKey(3)
+        bins = prepare_view_bins(attrs, cam, shape, CFG, with_inverse=True)
+        assert bins.inv_pos is not None
+
+        def loss_with(bin_result):
+            def f(means):
+                a = GaussianAttrs(
+                    **{
+                        **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                        "means": means,
+                    }
+                )
+                out, _ = render_view(a, cam, shape, CFG, bin_result=bin_result)
+                return _loss_fn(lambda a_: (out, None), a, key)
+
+            return f
+
+        g_inv = jax.grad(loss_with(bins))(attrs.means)
+        bins_plain = binning.BinResult(
+            gid=bins.gid,
+            tile_start=bins.tile_start,
+            tile_len=bins.tile_len,
+            num_dropped=bins.num_dropped,
+            inv_pos=None,
+        )
+        g_plain = jax.grad(loss_with(bins_plain))(attrs.means)
+        np.testing.assert_allclose(
+            np.asarray(g_inv), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+        )
