@@ -98,6 +98,54 @@ def init_state(cfg: MapConfig) -> GaussianMapState:
     )
 
 
+def bucket_capacity(count: int, full_capacity: int, min_cap: int = 1 << 15) -> int:
+    """Smallest power-of-two capacity holding count with 25% headroom.
+
+    Compute in the static-shape world scales with CAPACITY, not live count;
+    the mapper runs train/stats/planner on a sliced state whose capacity
+    tracks the live count in a few jit-stable buckets."""
+    need = max(int(count * 1.25), min_cap)
+    cap = min_cap
+    while cap < need:
+        cap *= 2
+    return min(cap, full_capacity)
+
+
+def slice_state(state: GaussianMapState, cap: int) -> GaussianMapState:
+    """View of the first `cap` slots (requires count <= cap)."""
+    if cap >= state.capacity:
+        return state
+    return GaussianMapState(
+        means=state.means[:cap],
+        scales_raw=state.scales_raw[:cap],
+        rotations_raw=state.rotations_raw[:cap],
+        opacities_raw=state.opacities_raw[:cap],
+        colors=state.colors[:cap],
+        view_scores=state.view_scores[:cap],
+        view_supports=state.view_supports[:cap],
+        view_means=state.view_means[:cap],
+        count=state.count,
+    )
+
+
+def write_back(full: GaussianMapState, sub: GaussianMapState) -> GaussianMapState:
+    """Merge a processed slice back into the full-capacity state."""
+    cap = sub.capacity
+    if cap >= full.capacity:
+        return sub
+    return GaussianMapState(
+        means=full.means.at[:cap].set(sub.means),
+        scales_raw=full.scales_raw.at[:cap].set(sub.scales_raw),
+        rotations_raw=full.rotations_raw.at[:cap].set(sub.rotations_raw),
+        opacities_raw=full.opacities_raw.at[:cap].set(sub.opacities_raw),
+        colors=full.colors.at[:cap].set(sub.colors),
+        view_scores=full.view_scores.at[:cap].set(sub.view_scores),
+        view_supports=full.view_supports.at[:cap].set(sub.view_supports),
+        view_means=full.view_means.at[:cap].set(sub.view_means),
+        count=sub.count,
+    )
+
+
 # ---------------------------------------------------------------------------
 # activations (`gaussian_map.py:53-60,529-571`)
 # ---------------------------------------------------------------------------

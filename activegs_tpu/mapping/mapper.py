@@ -71,8 +71,13 @@ class IncrementalMapper:
 
     def get_new_dataframe(self):
         """Plan to the NBV and sense there (`mapper.py:47-71`)."""
+        cap_b = gm.bucket_capacity(int(self.gm_state.count), self.map_cfg.capacity)
         path = self.planner.plan(
-            self.gm_state, self.vm_state, self.grid, self.simulator, self.recorder
+            gm.slice_state(self.gm_state, cap_b),
+            self.vm_state,
+            self.grid,
+            self.simulator,
+            self.recorder,
         )
         return self.simulator.simulate(np.asarray(path[-1])), path
 
@@ -87,19 +92,26 @@ class IncrementalMapper:
         )
         self.keyframes = kfb.add_frame(self.keyframes, frame)
         self.key, sub = jax.random.split(self.key)
-        self.gm_state, self.keyframes, loss = trainer.train_keyframe(
-            self.gm_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
+
+        # run the heavy jitted programs on the smallest capacity bucket that
+        # holds the live count — compute scales with capacity, not count
+        cap_b = gm.bucket_capacity(int(self.gm_state.count), self.map_cfg.capacity)
+        sub_state = gm.slice_state(self.gm_state, cap_b)
+
+        sub_state, self.keyframes, loss = trainer.train_keyframe(
+            sub_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
         )
         n_frames = int(self.keyframes.count)
         require_prune = n_frames % self.map_cfg.prune_interval == 0
-        self.gm_state, n_pruned = trainer.post_process(
-            self.gm_state,
+        sub_state, n_pruned = trainer.post_process(
+            sub_state,
             self.keyframes,
             frame["depth_range"][1],
             self.map_cfg,
             self.raster_cfg,
             require_prune=require_prune,
         )
+        self.gm_state = gm.write_back(self.gm_state, sub_state)
         # voxel map update
         self.vm_state = vm.update(self.vm_state, self.grid, frame)
         jax.block_until_ready(self.vm_state.log_odds)
