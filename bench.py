@@ -112,6 +112,10 @@ def main():
         }
         buf = kf.add_frame(buf, frame)
 
+    # match the mission loop: heavy programs run on the live-count bucket
+    cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
+    state = gm.slice_state(state, cap_b)
+
     run = lambda s, b, k: trainer.train_keyframe(s, b, k, cfg, raster_cfg, steps=steps)
 
     def perturbed(i):
