@@ -12,6 +12,7 @@ statistics, prune rule) match the reference, with `file:line` citations.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -215,6 +216,7 @@ def _voxel_dedup_mask(points: jnp.ndarray, select: jnp.ndarray, voxel: float):
     return keep & select
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
 def spawn(
     state: GaussianMapState,
     frame: dict,

@@ -68,13 +68,17 @@ class VoxelGrid:
         return int(np.prod(self.dim))
 
     @functools.cached_property
-    def centers(self) -> jnp.ndarray:
-        """(T, 3) voxel centers (`voxel_map.py:25-37`)."""
+    def centers(self) -> np.ndarray:
+        """(T, 3) voxel centers (`voxel_map.py:25-37`).
+
+        Cached as NUMPY on purpose: a jnp constant materialized inside a jit
+        trace is a tracer, and caching it would leak the tracer into eager
+        callers. numpy auto-converts at jnp call sites."""
         idx = np.stack(
             np.meshgrid(*[np.arange(d) for d in self.dim], indexing="ij"), axis=-1
         ).reshape(-1, 3)
         c = np.asarray(self.bbox_min) + (idx + 0.5) * np.asarray(self.size)
-        return jnp.asarray(c, jnp.float32)
+        return np.asarray(c, np.float32)
 
     def voxelize(self, points: jnp.ndarray):
         """xyz -> (ijk index, in-bounds mask) (`_voxelize`,
@@ -235,6 +239,7 @@ def inverse_sensor_model(distance: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(1.0 - 0.1 * distance, 0.0, 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("grid",))
 def update(
     state: VoxelMapState,
     grid: VoxelGrid,
