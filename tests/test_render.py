@@ -407,6 +407,70 @@ class TestStats:
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref["count"]))
 
 
+class TestGolden:
+    """Committed golden fixtures (scripts/gen_golden_fixtures.py): the tiled
+    Pallas path must reproduce frozen oracle renders + gradients at pinned
+    seeds, so perf rewrites can't silently drift the contract."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_render.npz")
+        return np.load(path)
+
+    def test_tiled_matches_golden_images(self, golden):
+        attrs = make_attrs(96, seed=1)
+        cam = make_camera()
+        out, _ = render_view(attrs, cam, (64, 64), CFG)
+        np.testing.assert_allclose(np.asarray(out.rgb), golden["rgb"], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.depth), golden["depth"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.normal), golden["normal"], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.opacity), golden["opacity"], atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.confidence), golden["confidence"], atol=2e-5
+        )
+
+    def test_stats_match_golden(self, golden):
+        attrs = make_attrs(96, seed=1)
+        cam = make_camera()
+        imp, cnt = render_stats(
+            attrs,
+            cam,
+            (64, 64),
+            CFG,
+            render_mask=jnp.asarray(golden["mask"]),
+            weight_thres=0.03,
+            front_only=False,
+        )
+        np.testing.assert_allclose(np.asarray(imp), golden["importance"], atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(cnt), golden["count"])
+
+    def test_grads_match_golden(self, golden):
+        attrs = make_attrs(96, seed=1)
+        cam = make_camera()
+        key = jax.random.PRNGKey(0)
+        names = ["means", "scales", "rotations", "opacities", "colors"]
+
+        def loss(*floats):
+            a = GaussianAttrs(
+                **{
+                    **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                    **dict(zip(names, floats)),
+                }
+            )
+            return _loss_fn(lambda a_: render_view(a_, cam, (64, 64), CFG), a, key)
+
+        args = tuple(getattr(attrs, n) for n in names)
+        grads = jax.grad(loss, argnums=tuple(range(5)))(*args)
+        for n, g in zip(names, grads):
+            want = golden[f"grad_{n}"]
+            scale = np.abs(want).max() + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(g) / scale, want / scale, atol=3e-4, err_msg=f"golden grad: {n}"
+            )
+
+
 class TestPrebinnedRender:
     def test_frozen_bins_match_fresh(self):
         # with unchanged params, rendering with prepare_view_bins-frozen
