@@ -1,9 +1,14 @@
 """Tile binning: expand gaussians into depth-ordered per-tile entry lists.
 
 TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort
-stage: one uint32 key sort per view (key = tile_id << 20 | depth_rank) using
-XLA's sorter, then a re-pad pass that K-aligns every tile segment so the
-Pallas compositor can stream fixed-size chunks with no cross-tile overlap.
+stage (`/root/reference/utils/operations.py:645-720` pins the contract): one
+multi-key XLA sort per view over (tile, depth, enum) produces the final
+K-aligned layout DIRECTLY — per-tile alignment dummies are injected *before*
+the sort (each sorts to the end of its tile's segment via depth=+inf), so
+every tile segment is K-aligned in place and the old re-pad scatter, the
+depth argsort, the rank scatter, and the searchsorted segment probe are all
+gone (each was an XLA-TPU pathology: scatter = hidden sort, argsort = extra
+sort, searchsorted = slow).
 
 Everything here is non-differentiable index bookkeeping; callers
 stop-gradient the inputs.
@@ -17,9 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from .types import RasterConfig
-
-RANK_BITS = 20  # max 2^20 gaussians per view
-MAX_TILES = (1 << 12) - 1  # tile ids above this collide with the sentinel
 
 
 @jax.tree_util.register_dataclass
@@ -35,6 +37,10 @@ class BinResult:
     inv_pos: jnp.ndarray | None = None
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def bin_entries(
     mean_x: jnp.ndarray,
     mean_y: jnp.ndarray,
@@ -45,21 +51,21 @@ def bin_entries(
     cfg: RasterConfig,
     with_inverse: bool = False,
 ) -> BinResult:
-    """Scatter-free expansion: XLA TPU lowers every scattered `.at[].set`
-    through an internal index sort, so the entry list is built DENSE — a
-    (max_dup, N) key grid with sentinels — and compacted by the one real
-    sort. The only scatter left is the K-alignment re-pad."""
+    """Build the K-aligned per-tile entry layout with ONE sort.
+
+    The dense (N, max_dup) candidate grid is enumerated gaussian-major so a
+    (tile, depth, enum)-lexicographic sort reproduces the oracle's ordering
+    exactly (depth ties break by gaussian index, matching the stable
+    `argsort` in render/dense.py). Per-tile K-alignment dummies
+    (depth=+inf, payload=-1) are appended pre-sort; tile segment starts are
+    then a plain cumsum of the K-rounded histogram."""
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
     num_tiles = ntx * nty
-    assert num_tiles <= MAX_TILES, "image too large for 12-bit tile ids"
     n = mean_x.shape[0]
-    assert n < (1 << RANK_BITS) - 1, "too many gaussians for 20-bit depth ranks"
     kchunk = cfg.chunk
     max_dup = cfg.max_dup
-    e_alloc = max_dup * n + num_tiles * (kchunk - 1)
-    e_alloc = -(-e_alloc // kchunk) * kchunk
 
     # --- clamped tile span, capped at max_dup tiles (centered shrink) ---
     tx0 = jnp.clip(jnp.floor((mean_x - radius) / cfg.tile_w), 0, ntx - 1).astype(
@@ -92,64 +98,70 @@ def bin_entries(
         jnp.where(in_view, sw * sh - sw_c * sh_c, 0)
     )  # span truncation, not budget overflow (dense layout never overflows)
 
-    # depth rank: dense ordering of camera z among in-view gaussians
-    order = jnp.argsort(jnp.where(in_view, depth_z, jnp.inf))
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-
-    # dense (max_dup, N) key grid
-    j = jnp.arange(max_dup, dtype=jnp.int32)[:, None]
-    sel = j < dup[None, :]
-    r = j // sw_c[None, :]
-    c = j % sw_c[None, :]
-    tile = (ty0c[None, :] + r) * ntx + (tx0c[None, :] + c)
-    key = (tile.astype(jnp.uint32) << RANK_BITS) | rank[None, :].astype(jnp.uint32)
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    keys = jnp.where(sel, key, sentinel).reshape(-1)
-    # payload = dense index j*N + i; gid = payload % N
-    payload = (
-        j * n + jnp.arange(n, dtype=jnp.int32)[None, :]
+    # --- dense (N, max_dup) candidate grid, gaussian-major for tie order ---
+    j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]
+    sel = j < dup[:, None]  # (N, max_dup)
+    r = j // sw_c[:, None]
+    c = j % sw_c[:, None]
+    tile = (ty0c[:, None] + r) * ntx + (tx0c[:, None] + c)
+    tile_e = jnp.where(sel, tile, num_tiles).reshape(-1)  # sentinel sorts last
+    inf = jnp.float32(jnp.inf)
+    depth_e = jnp.where(sel, depth_z[:, None], inf).reshape(-1)
+    # payload keeps the legacy j*N+i dense coding (inverse-map contract)
+    payload_e = jnp.where(
+        sel, j * n + jnp.arange(n, dtype=jnp.int32)[:, None], -1
     ).reshape(-1)
-    pad = e_alloc - keys.shape[0]
-    if pad:
-        keys = jnp.concatenate([keys, jnp.full((pad,), sentinel, jnp.uint32)])
-        payload = jnp.concatenate([payload, jnp.full((pad,), -1, jnp.int32)])
 
-    keys_sorted, payload_sorted = jax.lax.sort((keys, payload), num_keys=1)
-    gid_sorted = jnp.where(payload_sorted >= 0, payload_sorted % n, -1)
+    # --- per-tile histogram (fused one-hot reduce; no scatter) ---
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    seg_len = jnp.sum(
+        tile_e[:, None] == tids[None, :], axis=0, dtype=jnp.int32
+    )  # (T,)
+    pad_len = _round_up_arr(seg_len, kchunk)
+    pad_cnt = pad_len - seg_len  # in [0, K)
 
-    # --- per-tile segments + K-aligned re-pad (one monotone scatter) ---
-    tile_keys = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)) << RANK_BITS
-    starts = jnp.searchsorted(keys_sorted, tile_keys, side="left").astype(jnp.int32)
-    seg_len = starts[1:] - starts[:-1]  # (T,)
-    pad_len = -(-seg_len // kchunk) * kchunk
-    pad_start = jnp.cumsum(pad_len) - pad_len
+    # --- K-alignment dummies: pad_cnt[t] entries of (tile=t, depth=inf) ---
+    dj = jnp.arange(kchunk, dtype=jnp.int32)[None, :]
+    dsel = dj < pad_cnt[:, None]  # (T, K)
+    tile_d = jnp.where(dsel, tids[:, None], num_tiles).reshape(-1)
+    depth_d = jnp.full((num_tiles * kchunk,), inf, jnp.float32)
+    payload_d = jnp.full((num_tiles * kchunk,), -1, jnp.int32)
 
-    # compact output budget: downstream work scales with this, not with the
-    # dense sort size
+    e_raw = n * max_dup + num_tiles * kchunk
+    e_alloc = _round_up(e_raw, kchunk)
+    tile_all = jnp.concatenate([tile_e, tile_d])
+    depth_all = jnp.concatenate([depth_e, depth_d])
+    payload_all = jnp.concatenate([payload_e, payload_d])
+    if e_alloc > e_raw:
+        pad = e_alloc - e_raw
+        tile_all = jnp.concatenate(
+            [tile_all, jnp.full((pad,), num_tiles, jnp.int32)]
+        )
+        depth_all = jnp.concatenate([depth_all, jnp.full((pad,), inf, jnp.float32)])
+        payload_all = jnp.concatenate([payload_all, jnp.full((pad,), -1, jnp.int32)])
+
+    # stable 2-key sort: (tile, depth) lexicographic; stability preserves the
+    # gaussian-major enumeration on exact depth ties (oracle order)
+    _, _, payload_sorted = jax.lax.sort(
+        (tile_all, depth_all, payload_all), num_keys=2, is_stable=True
+    )
+
+    # --- segment starts/lengths + compact budget truncation ---
+    start = jnp.cumsum(pad_len) - pad_len  # K-aligned by construction
     e_budget = int(n * cfg.entry_budget_mult) + num_tiles * (kchunk - 1)
-    e_budget = min(-(-e_budget // kchunk) * kchunk, e_alloc)
-    start_c = jnp.minimum(pad_start, e_budget)
+    e_budget = min(_round_up(e_budget, kchunk), e_alloc)
+    start_c = jnp.minimum(start, e_budget).astype(jnp.int32)
     pad_len_c = jnp.minimum(pad_len, e_budget - start_c)
     seg_len_c = jnp.minimum(seg_len, pad_len_c)
     num_dropped = num_dropped + jnp.sum(seg_len - seg_len_c)
 
-    pos = jnp.arange(e_alloc, dtype=jnp.int32)
-    tile_of = (keys_sorted >> RANK_BITS).astype(jnp.int32)
-    valid = tile_of < num_tiles
-    tile_idx = jnp.clip(tile_of, 0, num_tiles - 1)
-    new_pos = pad_start[tile_idx] + (pos - starts[:-1][tile_idx])
-    new_pos = jnp.where(valid, new_pos, e_budget)
-    gid_padded = jnp.full((e_budget,), -1, jnp.int32).at[new_pos].set(
-        gid_sorted, mode="drop"
-    )
+    payload_b = payload_sorted[:e_budget]
+    gid = jnp.where(payload_b >= 0, payload_b % jnp.int32(max(n, 1)), -1)
 
     inv_pos = None
     if with_inverse:
-        payload_padded = jnp.full((e_budget,), -1, jnp.int32).at[new_pos].set(
-            payload_sorted, mode="drop"
-        )
         dense = max_dup * n
-        target = jnp.where(payload_padded >= 0, payload_padded, dense)
+        target = jnp.where(payload_b >= 0, payload_b, dense)
         inv_pos = (
             jnp.full((dense + 1,), -1, jnp.int32)
             .at[target]
@@ -158,9 +170,13 @@ def bin_entries(
         )
 
     return BinResult(
-        gid=gid_padded,
+        gid=gid,
         tile_start=start_c,
         tile_len=seg_len_c,
         num_dropped=num_dropped,
         inv_pos=inv_pos,
     )
+
+
+def _round_up_arr(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    return -(-x // m) * m
