@@ -16,6 +16,13 @@ def main():
     cfg = parse_cli("main")
     viewer = None
     if cfg.get("use_gui", False):
+        # live browser viewer (viz/webviewer.py) — the interactive analog of
+        # the reference's Open3D GUI process; gui_port=0 picks a free port
+        from ..viz.webviewer import WebViewer
+
+        viewer = WebViewer(port=int(cfg.get("gui_port", 8787)))
+        print(f" live viewer: http://127.0.0.1:{viewer.port}/")
+    elif cfg.get("dump_views", False):
         from ..viz.viewer import MissionViewer
 
         viewer = MissionViewer(os.path.join(experiment_path(cfg), "viewer"))

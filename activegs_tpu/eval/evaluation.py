@@ -92,6 +92,7 @@ class EvaluationTool:
             ssim = np.zeros(n_maps)
             lpips = np.zeros(n_maps)
             lpips_n = np.zeros(n_maps)
+            perceptual = np.zeros(n_maps)
             depth_mse = np.zeros(n_maps)
 
             renderers = [
@@ -119,6 +120,7 @@ class EvaluationTool:
                     if lp is not None:
                         lpips[i] += lp
                         lpips_n[i] += 1
+                    perceptual[i] += metrics.cal_perceptual(rgb_pred, rgb_gt)
                     depth_mse[i] += metrics.cal_mse(out_i.depth, depth_gt, valid)
 
             v = len(self.test_poses)
@@ -128,6 +130,9 @@ class EvaluationTool:
                 (lpips[i] / lpips_n[i]) if lpips_n[i] else None
                 for i in range(n_maps)
             ]
+            # offline LPIPS stand-in (fixed random-conv features; see
+            # metrics.cal_perceptual) so the perceptual channel is never null
+            out["mean_perceptual"] = (perceptual / v).tolist()
             out["mean_depth_mse"] = (depth_mse / v).tolist()
 
         if mode in ("complete", "mesh") and self.mesh_gt is not None:

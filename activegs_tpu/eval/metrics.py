@@ -73,6 +73,57 @@ def cal_lpips(rgb_pred, rgb_gt) -> Optional[float]:
         return float(_lpips_model(p, g))
 
 
+_perc_params = None
+
+
+def _perceptual_features(x: jnp.ndarray):
+    """3-stage fixed-random-conv feature pyramid (NCHW, stride 2, ReLU).
+
+    Weights are drawn once from PRNGKey(0) with He scaling — random-filter
+    feature distances are a documented reasonable proxy for learned
+    perceptual metrics, and need no downloaded weights."""
+    global _perc_params
+    import jax
+
+    if _perc_params is None:
+        key = jax.random.PRNGKey(0)
+        dims = [(3, 16), (16, 32), (32, 64)]
+        ws = []
+        for cin, cout in dims:
+            key, k = jax.random.split(key)
+            w = jax.random.normal(k, (cout, cin, 3, 3)) * np.sqrt(2.0 / (cin * 9))
+            ws.append(w)
+        _perc_params = ws
+    feats = []
+    for w in _perc_params:
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        x = jnp.maximum(x, 0.0)
+        # unit-normalize the channel dim (LPIPS-style) before comparing
+        norm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True) + 1e-10)
+        feats.append(x / norm)
+    return feats
+
+
+def cal_perceptual(rgb_pred, rgb_gt) -> float:
+    """Self-contained perceptual distance: mean squared distance between
+    channel-normalized fixed-random-conv features, averaged over 3 scales.
+
+    OFFLINE STAND-IN for LPIPS (`mapping/utils.py:286-288`): reported
+    alongside `lpips` (which stays None when AlexNet weights are absent) so
+    eval JSONs always carry a perceptual channel. NOT numerically
+    comparable to published LPIPS values — use it for relative comparisons
+    between runs of this framework only."""
+    p = jnp.asarray(rgb_pred, jnp.float32)[None]
+    g = jnp.asarray(rgb_gt, jnp.float32)[None]
+    fp = _perceptual_features(jnp.clip(p, 0, 1))
+    fg = _perceptual_features(jnp.clip(g, 0, 1))
+    d = [jnp.mean(jnp.sum((a - b) ** 2, axis=1)) for a, b in zip(fp, fg)]
+    return float(sum(d) / len(d))
+
+
 # ---------------------------------------------------------------------------
 # mesh metrics (`utils/operations.py:55-98`)
 # ---------------------------------------------------------------------------

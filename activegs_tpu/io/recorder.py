@@ -57,6 +57,15 @@ class MissionRecorder:
             return True
         return False
 
+    def log_step_stats(self, stats: dict) -> None:
+        """Append per-step mission telemetry (loss, spawn/prune counts,
+        binning drop counters, bucket occupancy) to step_stats.jsonl."""
+        stats = dict(stats)
+        stats["t_mission"] = self.t_mission
+        path = os.path.join(self.save_dir, "step_stats.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(stats) + "\n")
+
     def log(self) -> dict:
         t = max(self.t_mission, 1e-9)
         info = {

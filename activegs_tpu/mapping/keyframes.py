@@ -42,19 +42,45 @@ def init_buffer(capacity: int, h: int, w: int) -> KeyframeBuffer:
     )
 
 
+@jax.jit
 def add_frame(buf: KeyframeBuffer, frame: dict) -> KeyframeBuffer:
     """Append a dataframe (new frames start with performance 10,
-    `gaussian_map.py:466-468`). Frames beyond capacity are dropped."""
-    i = jnp.minimum(buf.count, buf.capacity - 1)
+    `gaussian_map.py:466-468`).
+
+    At capacity the buffer EVICTS the lowest-performance (best-learned)
+    keyframe instead of silently overwriting the last slot: the remaining
+    frames shift down to preserve chronological slot order (the samplers
+    derive recency from slot index), and the new frame appends at the end.
+    The reference's unbounded Python list never faces this; with a static
+    buffer this keeps long missions sane past `capacity` keyframes."""
     rgb_u8 = jnp.clip(frame["rgb"] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-    return KeyframeBuffer(
-        rgb=buf.rgb.at[i].set(rgb_u8),
-        depth=buf.depth.at[i].set(frame["depth"].astype(jnp.float16)),
-        extrinsics=buf.extrinsics.at[i].set(frame["extrinsic"]),
-        intrinsics=buf.intrinsics.at[i].set(frame["intrinsic"]),
-        performance=buf.performance.at[i].set(10.0),
-        count=jnp.minimum(buf.count + 1, buf.capacity),
-    )
+
+    def append(buf):
+        i = buf.count
+        return KeyframeBuffer(
+            rgb=buf.rgb.at[i].set(rgb_u8),
+            depth=buf.depth.at[i].set(frame["depth"].astype(jnp.float16)),
+            extrinsics=buf.extrinsics.at[i].set(frame["extrinsic"]),
+            intrinsics=buf.intrinsics.at[i].set(frame["intrinsic"]),
+            performance=buf.performance.at[i].set(10.0),
+            count=buf.count + 1,
+        )
+
+    def evict_append(buf):
+        victim = jnp.argmin(buf.performance).astype(jnp.int32)
+        idx = jnp.arange(buf.capacity, dtype=jnp.int32)
+        src = jnp.where(idx < victim, idx, jnp.minimum(idx + 1, buf.capacity - 1))
+        last = buf.capacity - 1
+        return KeyframeBuffer(
+            rgb=buf.rgb[src].at[last].set(rgb_u8),
+            depth=buf.depth[src].at[last].set(frame["depth"].astype(jnp.float16)),
+            extrinsics=buf.extrinsics[src].at[last].set(frame["extrinsic"]),
+            intrinsics=buf.intrinsics[src].at[last].set(frame["intrinsic"]),
+            performance=buf.performance[src].at[last].set(10.0),
+            count=buf.count,
+        )
+
+    return jax.lax.cond(buf.count >= buf.capacity, evict_append, append, buf)
 
 
 def decode_frames(buf: KeyframeBuffer, ids: jnp.ndarray):

@@ -41,6 +41,20 @@ class IncrementalMapper:
         self.key = jax.random.PRNGKey(seed)
         self.viewer = viewer  # optional viz.viewer.MissionViewer
 
+        # multi-device: shard training views + planner candidates over the
+        # "view" axis whenever more than one device is visible (the mesh
+        # size divides the 8-view batch; parallel/sharded.py)
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if n_dev > 1:
+            from ..parallel import sharded
+
+            usable = 1
+            while usable * 2 <= n_dev and map_cfg.batch_size % (usable * 2) == 0:
+                usable *= 2
+            if usable > 1:
+                self.mesh = sharded.make_view_mesh(usable)
+
         self.simulator = None
         self.planner = None
         self.recorder: Optional[MissionRecorder] = None
@@ -57,6 +71,8 @@ class IncrementalMapper:
 
     def load_planner(self, planner):
         self.planner = planner
+        if self.mesh is not None and getattr(planner, "mesh", None) is None:
+            planner.mesh = self.mesh
 
     def load_recorder(self, recorder):
         self.recorder = recorder
@@ -82,7 +98,23 @@ class IncrementalMapper:
         return self.simulator.simulate(np.asarray(path[-1])), path
 
     def step(self):
-        """One mission iteration (`mapper.py:89-125`)."""
+        """One mission iteration (`mapper.py:89-125`).
+
+        Set ACTIVEGS_PROFILE=<dir> to capture a jax.profiler trace of the
+        first few steps (device op timeline; inspect with tensorboard)."""
+        import contextlib
+        import os
+
+        prof_dir = os.environ.get("ACTIVEGS_PROFILE")
+        prof = (
+            jax.profiler.trace(os.path.join(prof_dir, f"step_{self.frame_id:03d}"))
+            if prof_dir and self.frame_id < int(os.environ.get("ACTIVEGS_PROFILE_STEPS", 3))
+            else contextlib.nullcontext()
+        )
+        with prof:
+            return self._step_inner()
+
+    def _step_inner(self):
         frame, path = self.get_new_dataframe()
 
         t0 = time.time()
@@ -98,8 +130,13 @@ class IncrementalMapper:
         cap_b = gm.bucket_capacity(int(self.gm_state.count), self.map_cfg.capacity)
         sub_state = gm.slice_state(self.gm_state, cap_b)
 
-        sub_state, self.keyframes, loss = trainer.train_keyframe(
-            sub_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
+        sub_state, self.keyframes, loss, train_aux = trainer.train_keyframe(
+            sub_state,
+            self.keyframes,
+            sub,
+            self.map_cfg,
+            self.raster_cfg,
+            mesh=self.mesh,
         )
         n_frames = int(self.keyframes.count)
         require_prune = n_frames % self.map_cfg.prune_interval == 0
@@ -125,6 +162,11 @@ class IncrementalMapper:
             "n_pruned": int(n_pruned),
             "n_gaussians": int(self.gm_state.count),
             "t_mapping": t_mapping,
+            # telemetry (VERDICT r1 #6): silent tile-entry truncation and
+            # capacity-bucket pressure are mission-health signals
+            "num_dropped": int(train_aux["num_dropped"]),
+            "capacity_bucket": cap_b,
+            "bucket_occupancy": float(int(self.gm_state.count) / cap_b),
         }
 
         if self.viewer is not None:
@@ -132,6 +174,7 @@ class IncrementalMapper:
 
         if self.recorder is not None:
             self.recorder.update_time("mapping", t_mapping)
+            self.recorder.log_step_stats(stats)
             self.recorder.log()
             self.recorder.save_dataframe(frame, f"{self.frame_id:03d}")
             if self.recorder.require_record:
@@ -149,7 +192,9 @@ class IncrementalMapper:
             print(
                 f" step {stats['frame_id']}: loss {stats['loss']:.4f}, "
                 f"{stats['n_gaussians']} gaussians (+{stats['n_new']}/-{stats['n_pruned']}), "
-                f"mapping {stats['t_mapping']:.2f}s"
+                f"mapping {stats['t_mapping']:.2f}s, "
+                f"dropped {stats['num_dropped']}, "
+                f"bucket {stats['n_gaussians']}/{stats['capacity_bucket']}"
             )
             if max_steps is not None and self.frame_id >= max_steps:
                 break

@@ -104,7 +104,7 @@ def batch_loss(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "raster_cfg", "steps", "sampler")
+    jax.jit, static_argnames=("cfg", "raster_cfg", "steps", "sampler", "mesh")
 )
 def train_keyframe(
     state: gm.GaussianMapState,
@@ -114,6 +114,7 @@ def train_keyframe(
     raster_cfg: RasterConfig,
     steps: int | None = None,
     sampler: str = "weighted",
+    mesh=None,
 ):
     """Run the per-keyframe optimization (`GaussianMap.train`,
     `gaussian_map.py:66-130`): fresh Adam, `steps` iterations of
@@ -124,7 +125,12 @@ def train_keyframe(
     gradient and screen positions move negligibly within a keyframe),
     instead of the reference's per-step resampling + per-launch re-sort.
     Set cfg.resample_per_step=True for reference-faithful behavior.
-    Returns (state, buf, loss)."""
+
+    With `mesh` (a jax.sharding.Mesh over the "view" axis), the view batch
+    and its frozen bins are sharded over devices and gradients psum-reduce
+    over ICI (parallel/sharded.py); results are numerically identical to
+    the single-device path. Returns (state, buf, loss, aux) with aux["num_dropped"]
+    summing binning drop counters over the frozen view batch."""
     steps = cfg.optimization_steps if steps is None else steps
     opt = make_optimizer(cfg)
     params = _params_of(state)
@@ -140,6 +146,29 @@ def train_keyframe(
 
         from ..render.renderer import prepare_view_bins
         from ..render.types import Camera
+
+        if mesh is not None:
+            from ..parallel import sharded
+
+            bins = sharded.sharded_view_bins(
+                attrs0, batch[2], batch[3], mesh, (h, w), raster_cfg
+            )
+
+            def body(i, carry):
+                params, opt_state, buf, _ = carry
+                loss, grads, per_frame = sharded.sharded_train_step(
+                    params, state, batch, mesh, cfg, raster_cfg, bins
+                )
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                buf = kf.update_performance(buf, ids, per_frame)
+                return params, opt_state, buf, loss
+
+            params, opt_state, buf, last_loss = jax.lax.fori_loop(
+                0, steps, body, (params, opt_state, buf, jnp.float32(0.0))
+            )
+            aux = {"num_dropped": jnp.sum(bins.num_dropped)}
+            return _with_params(state, params), buf, last_loss, aux
 
         bins = jax.lax.map(
             lambda c: prepare_view_bins(
@@ -161,7 +190,8 @@ def train_keyframe(
         params, opt_state, buf, last_loss = jax.lax.fori_loop(
             0, steps, body, (params, opt_state, buf, jnp.float32(0.0))
         )
-        return _with_params(state, params), buf, last_loss
+        aux = {"num_dropped": jnp.sum(bins.num_dropped)}
+        return _with_params(state, params), buf, last_loss, aux
 
     def body(i, carry):
         params, opt_state, buf, key, _ = carry
@@ -179,7 +209,9 @@ def train_keyframe(
     params, opt_state, buf, key, last_loss = jax.lax.fori_loop(
         0, steps, body, (params, opt_state, buf, key, jnp.float32(0.0))
     )
-    return _with_params(state, params), buf, last_loss
+    # per-step re-binning: drop counter not tracked on this path
+    aux = {"num_dropped": jnp.int32(-1)}
+    return _with_params(state, params), buf, last_loss, aux
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg", "require_prune"))

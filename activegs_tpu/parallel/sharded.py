@@ -7,6 +7,11 @@ replicated gaussian state, and per-parameter gradients / per-view utilities
 are combined with `psum`/all-gather over ICI. Implemented with
 `jax.shard_map` so the same code runs on a virtual CPU mesh in tests
 (SURVEY §4) and on real pods.
+
+Wiring: `IncrementalMapper` passes a mesh to `trainer.train_keyframe`
+(training-view data parallelism) and `PlanBase.mesh` routes
+`ConfidencePlanner.cal_utility` through `sharded_candidate_utility`
+whenever more than one device is visible.
 """
 
 from __future__ import annotations
@@ -38,25 +43,34 @@ def sharded_train_step(
     mesh: Mesh,
     cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
+    bins=None,
 ):
     """One data-parallel loss+grad evaluation: the view batch is sharded
     over the mesh, gaussian parameters are replicated, and gradients are
     psum-reduced over ICI (overlapping with backward under XLA latency
-    hiding). Returns (loss, grads, per_frame_errors)."""
+    hiding). `bins` optionally carries per-view frozen BinResults stacked
+    over the view axis (sharded alongside the batch).
+    Returns (loss, grads, per_frame_errors)."""
+    bin_spec = P() if bins is None else jax.tree.map(lambda _: P(VIEW_AXIS), bins)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), (P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS))),
+        in_specs=(
+            P(),
+            P(),
+            (P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
+            bin_spec,
+        ),
         out_specs=(P(), P(), P(VIEW_AXIS)),
         check_vma=False,  # binning's scatter loops carry device-invariant inits
     )
-    def step(params, state, batch):
+    def step(params, state, batch, bins):
         n_total = batch[0].shape[0] * jax.lax.psum(1, VIEW_AXIS)
         n_local = batch[0].shape[0]
 
         def local_loss(p):
-            loss, per_frame = batch_loss(p, state, batch, cfg, raster_cfg)
+            loss, per_frame = batch_loss(p, state, batch, cfg, raster_cfg, bins)
             # batch_loss averages over local views; rescale so the psum of
             # local losses equals the global mean
             return loss * (n_local / n_total), per_frame
@@ -68,48 +82,99 @@ def sharded_train_step(
         grads = jax.lax.psum(grads, VIEW_AXIS)
         return loss, grads, per_frame
 
-    return step(params, state, batch)
+    return step(params, state, batch, bins)
 
 
-def sharded_candidate_utility(
-    gm_state: gm.GaussianMapState,
-    candidates: jnp.ndarray,  # (V, 4, 4), V divisible by mesh size
-    intrinsic: jnp.ndarray,
+def sharded_view_bins(
+    attrs,
+    extrinsics: jnp.ndarray,
+    intrinsics: jnp.ndarray,
     mesh: Mesh,
     shape: tuple[int, int],
-    cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
 ):
-    """Shard planner candidate renders over devices; all-gather the
-    per-view channel statistics (mean confidence-weighted depth terms used
-    by the utility; full utility assembly stays in planning/confidence.py).
-    Returns per-candidate (mean_depth, mean_uncertainty_term, opacity)."""
+    """Per-view frozen tile binning, sharded over the view axis. Returns a
+    BinResult pytree with a leading (V,) axis (sharded)."""
+    from ..render.renderer import prepare_view_bins
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(VIEW_AXIS), P()),
+        in_specs=(P(), P(VIEW_AXIS), P(VIEW_AXIS)),
         out_specs=P(VIEW_AXIS),
         check_vma=False,
     )
-    def run(gm_state, cands, intrinsic):
-        attrs = gm.attrs_of(gm_state, cfg)
+    def run(attrs, exts, intrs):
+        return jax.lax.map(
+            lambda c: prepare_view_bins(
+                attrs, Camera(extrinsic=c[0], intrinsic=c[1]), shape, raster_cfg
+            ),
+            (exts, intrs),
+        )
 
-        def one(extrinsic):
+    return run(attrs, extrinsics, intrinsics)
+
+
+def sharded_candidate_utility(
+    gm_state: gm.GaussianMapState,
+    unexplored: jnp.ndarray,
+    candidates: jnp.ndarray,  # (V, 4, 4), V divisible by mesh size
+    intrinsic: jnp.ndarray,
+    valid_masks: jnp.ndarray,  # (V, h, w) bool
+    depth_range: jnp.ndarray,
+    mesh: Mesh,
+    grid,
+    shape: tuple[int, int],
+    map_cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+):
+    """Planner candidate utilities sharded over devices: computes the SAME
+    (explore, exploit) statistics as
+    `planning.confidence._confidence_utility_batch` (`confidence.py:44-103`
+    in the reference) — the visible-and-unexplored voxel fraction and the
+    distance-aware uncertainty — with candidates split over the mesh.
+    Returns (explore (V,), exploit (V,))."""
+    from ..mapping import voxel_map as vm
+
+    num_voxels = grid.num_voxels
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(VIEW_AXIS), P(), P(VIEW_AXIS), P()),
+        out_specs=(P(VIEW_AXIS), P(VIEW_AXIS)),
+        check_vma=False,
+    )
+    def run(gm_state, unexplored, cands, intrinsic, valid_masks, depth_range):
+        attrs = gm.attrs_of(gm_state, map_cfg)
+
+        def one(args):
+            extrinsic, valid = args
             out, _ = render_view(
                 attrs,
                 Camera(extrinsic=extrinsic, intrinsic=intrinsic),
                 shape,
                 raster_cfg,
             )
-            return jnp.stack(
-                [
-                    jnp.mean(out.depth),
-                    jnp.mean((1.0 - out.confidence) * out.depth),
-                    jnp.mean(out.opacity),
-                ]
-            )
+            depth = out.depth[0]
+            conf = out.confidence[0]
 
-        return jax.lax.map(one, cands)
+            depth_voxel = jnp.where(depth < 0.001, 1e4, depth)
+            depth_voxel = jnp.clip(depth_voxel, depth_range[0], depth_range[1])
+            depth_voxel = jnp.where(valid, depth_voxel, -1.0)
+            visible = vm.visible_mask(None, grid, extrinsic, intrinsic, depth_voxel)
+            explore = jnp.sum(visible & unexplored) / num_voxels
 
-    return run(gm_state, candidates, intrinsic)
+            conf = jnp.where(depth > depth_range[1], 1.0, conf)
+            conf = jnp.where(valid, conf, 1.0)
+            uncertainty = 1.0 - conf
+            depth_surface = jnp.where(depth < 0.001, depth_range[1] * 0.5, depth)
+            exploit = jnp.mean(uncertainty * depth_surface / depth_range[1])
+            return explore, exploit
+
+        explore, exploit = jax.lax.map(one, (cands, valid_masks))
+        explore = jnp.where(jnp.isnan(explore), 0.0, explore)
+        exploit = jnp.where(jnp.isnan(exploit), 0.0, exploit)
+        return explore, exploit
+
+    return run(gm_state, unexplored, candidates, intrinsic, valid_masks, depth_range)

@@ -83,17 +83,40 @@ class ConfidencePlanner(PlanBase):
             candidates, simulator, (h, w)
         )
         t0 = time.time()
-        explore, exploit = _confidence_utility_batch(
-            gm_state,
-            vstate.unexplored,
-            jnp.asarray(candidates),
-            jnp.asarray(simulator.intrinsic),
-            jnp.asarray(valid_masks),
-            jnp.asarray(simulator.depth_range, jnp.float32),
-            grid,
-            (h, w),
-            self.map_cfg,
-            self.raster_cfg,
-        )
+        if self.mesh is not None:
+            from ..parallel.sharded import sharded_candidate_utility
+
+            n = len(candidates)
+            n_dev = self.mesh.devices.size
+            pad = (-n) % n_dev  # pad to a full shard (repeat last candidate)
+            cands = np.concatenate([candidates, np.repeat(candidates[-1:], pad, 0)])
+            masks = np.concatenate([valid_masks, np.repeat(valid_masks[-1:], pad, 0)])
+            explore, exploit = sharded_candidate_utility(
+                gm_state,
+                vstate.unexplored,
+                jnp.asarray(cands),
+                jnp.asarray(simulator.intrinsic),
+                jnp.asarray(masks),
+                jnp.asarray(simulator.depth_range, jnp.float32),
+                self.mesh,
+                grid,
+                (h, w),
+                self.map_cfg,
+                self.raster_cfg,
+            )
+            explore, exploit = explore[:n], exploit[:n]
+        else:
+            explore, exploit = _confidence_utility_batch(
+                gm_state,
+                vstate.unexplored,
+                jnp.asarray(candidates),
+                jnp.asarray(simulator.intrinsic),
+                jnp.asarray(valid_masks),
+                jnp.asarray(simulator.depth_range, jnp.float32),
+                grid,
+                (h, w),
+                self.map_cfg,
+                self.raster_cfg,
+            )
         utility = self.cfg.explore_weight * np.asarray(explore) + np.asarray(exploit)
         return utility, time.time() - t0

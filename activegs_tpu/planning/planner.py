@@ -63,6 +63,10 @@ class PlanBase:
         self.pose = np.asarray(cfg.init_pose, np.float32)
         self.graph: Optional[VoxelGraph] = None
         self.initialized = False
+        # optional jax.sharding.Mesh over the "view" axis: candidate
+        # utilities shard over devices (parallel/sharded.py); set by the
+        # mission wiring when more than one device is visible
+        self.mesh = None
 
     # ---- candidate generation (`plan_base.py:131-206`) ----
 

@@ -23,6 +23,119 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RAYS_PER_S = 2.0e8
 
 
+def scaling_bench():
+    """Scaling-efficiency harness (BASELINE.md north star: >=80% rays/s at
+    1 -> N devices). Measures the sharded train step at every power-of-two
+    mesh size the visible devices allow and prints one JSON line per size
+    with efficiency vs the 1-device run.
+
+    On the single real TPU chip this honestly degenerates to n=1; run with
+    BENCH_SCALING_CPU=1 to validate the harness itself on a virtual
+    8-device CPU mesh (relative numbers only — Pallas runs interpreted on
+    CPU, so efficiencies there validate plumbing, not ICI).  Real
+    multi-chip efficiency needs a TPU slice (v5e-8 or larger), which this
+    machine does not expose."""
+    if os.environ.get("BENCH_SCALING_CPU"):
+        from activegs_tpu import runtime
+
+        runtime.force_cpu(8)
+
+    results = run_scaling(
+        res=int(os.environ.get("BENCH_RES", 128)),
+        n_gauss=int(os.environ.get("BENCH_GAUSSIANS", 4096)),
+        steps=int(os.environ.get("BENCH_STEPS", 2)),
+    )
+    for line in results:
+        print(json.dumps(line))
+    return results
+
+
+def run_scaling(res=128, n_gauss=4096, steps=2):
+    """Measure sharded-train rays/s at mesh sizes 1,2,4,... Returns a list
+    of result dicts (also used by tests on the virtual CPU mesh)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from activegs_tpu.core import geometry as geo
+    from activegs_tpu.core import quaternions as quat
+    from activegs_tpu.mapping import gaussians as gm
+    from activegs_tpu.mapping import trainer
+    from activegs_tpu.parallel import make_view_mesh, sharded_train_step
+    from activegs_tpu.render.types import RasterConfig
+
+    n_dev = len(jax.devices())
+    sizes = []
+    s = 1
+    while s <= min(n_dev, 8):
+        sizes.append(s)
+        s *= 2
+
+    cfg = gm.MapConfig(capacity=max(512, 1 << (n_gauss - 1).bit_length()))
+    raster_cfg = RasterConfig(
+        interpret=jax.default_backend() != "tpu"
+    )
+    rng = np.random.default_rng(0)
+    state = gm.init_state(cfg)
+    normals = rng.normal(size=(n_gauss, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    q, _ = quat.normal_to_quaternion(jnp.asarray(normals))
+    state = dataclasses.replace(
+        state,
+        means=state.means.at[:n_gauss].set(
+            jnp.asarray(rng.uniform(-1, 1, (n_gauss, 3)).astype(np.float32))
+            + jnp.asarray([0.0, 0.0, 2.0])
+        ),
+        rotations_raw=state.rotations_raw.at[:n_gauss].set(q),
+        colors=state.colors.at[:n_gauss].set(
+            jnp.asarray(rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32))
+        ),
+        opacities_raw=state.opacities_raw.at[:n_gauss].set(1.0),
+        count=jnp.int32(n_gauss),
+    )
+    params = trainer._params_of(state)
+    v = 8  # view batch, divisible by every mesh size
+    rgb = jnp.asarray(rng.uniform(0, 1, (v, 3, res, res)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(1, 3, (v, 1, res, res)).astype(np.float32))
+    exts = jnp.tile(jnp.eye(4)[None], (v, 1, 1))
+    intrs = jnp.tile(geo.intrinsics_from_fov(60.0, 60.0)[None], (v, 1, 1))
+    batch = (rgb, depth, exts, intrs)
+
+    results = []
+    base = None
+    for n in sizes:
+        mesh = make_view_mesh(n)
+        step = jax.jit(
+            lambda p, b: sharded_train_step(p, state, b, mesh, cfg, raster_cfg)[:2]
+        )
+        loss, grads = step(params, batch)
+        _ = float(loss)  # fence (block_until_ready lies under axon)
+        times = []
+        for i in range(max(2, steps)):
+            b2 = (rgb + jnp.float32(1e-6) * (i + 1), depth, exts, intrs)
+            t0 = time.perf_counter()
+            loss, grads = step(params, b2)
+            _ = float(loss)
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        rays = v * res * res
+        rps = rays / t
+        base = rps if base is None else base
+        results.append(
+            {
+                "metric": "scaling_train_rays_per_s",
+                "mesh_devices": n,
+                "value": rps,
+                "unit": "rays/s",
+                "efficiency_vs_1dev": rps / (base * n),
+                "backend": jax.default_backend(),
+            }
+        )
+    return results
+
+
 def main():
     from activegs_tpu import runtime
 
@@ -131,15 +244,22 @@ def main():
         return float(s.means[12345, 0])
 
     # warm up (compile)
-    s1, b1, _ = run(perturbed(-1), buf, jax.random.PRNGKey(99))
+    s1, b1, _, _aux = run(perturbed(-1), buf, jax.random.PRNGKey(99))
     materialize(s1)
 
+    import contextlib
+
+    # BENCH_PROFILE=<dir> captures a jax.profiler trace of the timed runs
+    # (inspect with tensorboard / xprof; SURVEY §5 tracing commitment)
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    prof = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
     times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        s1, b1, _ = run(perturbed(i), buf, jax.random.PRNGKey(i))
-        materialize(s1)
-        times.append(time.perf_counter() - t0)
+    with prof:
+        for i in range(3):
+            t0 = time.perf_counter()
+            s1, b1, _, _aux = run(perturbed(i), buf, jax.random.PRNGKey(i))
+            materialize(s1)
+            times.append(time.perf_counter() - t0)
     t = min(times)
 
     rays = steps * batch * res * res
@@ -157,4 +277,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SCALING") or "--scaling" in sys.argv:
+        scaling_bench()
+    else:
+        main()

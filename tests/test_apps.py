@@ -104,3 +104,126 @@ class TestDataGeneration:
         r = views[:, :3, :3]
         rr = np.einsum("nij,nik->njk", r, r)
         np.testing.assert_allclose(rr, np.broadcast_to(np.eye(3), rr.shape), atol=1e-5)
+
+
+class TestWebViewer:
+    def test_endpoints_serve_live_mission_state(self):
+        """Drive the live web viewer (VERDICT r1 #5): run one tiny mission
+        step, then hit every HTTP endpoint including the fly-cam."""
+        import urllib.request
+
+        import jax.numpy as jnp
+
+        from activegs_tpu.mapping import gaussians as gm
+        from activegs_tpu.mapping import voxel_map as vm
+        from activegs_tpu.mapping.mapper import IncrementalMapper
+        from activegs_tpu.planning.confidence import ConfidencePlanner
+        from activegs_tpu.planning.planner import PlannerConfig
+        from activegs_tpu.render.types import RasterConfig
+        from activegs_tpu.viz.webviewer import WebViewer
+
+        raster = RasterConfig(entry_budget_mult=4.0, interpret=True)
+        mapcfg = gm.MapConfig(capacity=4096, optimization_steps=2, bilateral_radius=2)
+        voxcfg = vm.VoxelConfig(map_resolution=(0.5, 0.5, 0.5))
+        init_pose = (
+            (0.0, 0.0, 1.0, 1.0),
+            (-1.0, 0.0, 0.0, 2.5),
+            (0.0, -1.0, 0.0, 1.5),
+            (0.0, 0.0, 0.0, 1.0),
+        )
+        planner = ConfidencePlanner(
+            PlannerConfig(sample_num=8, max_roi_sample_num=0, radius=1.5, init_pose=init_pose),
+            mapcfg,
+            voxcfg,
+            raster,
+        )
+        viewer = WebViewer(port=0, shape=(32, 32))
+        try:
+            mapper = IncrementalMapper(
+                mapcfg, voxcfg, raster, keyframe_capacity=8, viewer=viewer
+            )
+            mapper.load_simulator(BoxRoomSimulator(resolution=(32, 32), seed=1))
+            mapper.load_planner(planner)
+            mapper.init_map()
+            mapper.step()
+
+            base = f"http://127.0.0.1:{viewer.port}"
+
+            def get(path):
+                with urllib.request.urlopen(base + path, timeout=30) as r:
+                    return r.status, r.headers.get("Content-Type"), r.read()
+
+            code, ctype, body = get("/")
+            assert code == 200 and "html" in ctype and b"fly-cam" in body
+            code, ctype, body = get("/stats.json")
+            assert code == 200
+            stats = json.loads(body)
+            assert stats["frame_id"] == 1 and np.isfinite(stats["loss"])
+            code, ctype, body = get("/panel.png")
+            assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+            code, ctype, body = get("/voxel.png")
+            assert code == 200 and body[:4] == b"\x89PNG"
+            # fly-cam: pose override + channel selection render on demand
+            code, ctype, body = get("/fly.png?dx=0.2&yaw=0.3&chan=depth")
+            assert code == 200 and body[:4] == b"\x89PNG"
+            code, ctype, body = get("/fly.png?chan=rgb")
+            assert code == 200 and body[:4] == b"\x89PNG"
+            import urllib.error
+
+            try:
+                get("/nope")
+                assert False, "unknown path should 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            viewer.close()
+
+
+class TestMainCLI:
+    def test_main_entry_end_to_end(self, tmp_path, monkeypatch):
+        """Drive the REAL mission entry (apps/main.py) through parse_cli ->
+        build_mission -> run, at tiny shapes (VERDICT r1 weak #8: the CLI
+        wiring was untested). Checks the experiment directory artifacts."""
+        import sys
+
+        from activegs_tpu.apps import main as main_app
+
+        out = str(tmp_path / "exp")
+        argv = [
+            "main",
+            "planner=confidence",
+            "simulator.resolution=[32,32]",
+            "mapper.gaussian_map.capacity=4096",
+            "mapper.gaussian_map.optimization_steps=2",
+            "mapper.gaussian_map.bilateral_radius=2",
+            "mapper.keyframe_capacity=8",
+            "planner.sample_num=8",
+            "planner.max_roi_sample_num=0",
+            "mapper.raster.entry_budget_mult=4.0",
+            f"experiment.output_dir={out}",
+            "max_steps=2",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        main_app.main()
+
+        import glob
+
+        exp_dirs = glob.glob(os.path.join(out, "*", "*", "*", "*"))
+        assert len(exp_dirs) == 1, exp_dirs
+        d = exp_dirs[0]
+        assert os.path.exists(os.path.join(d, "exp_config.yaml"))
+        assert os.path.exists(os.path.join(d, "map", "map_final.npz"))
+        # telemetry stream written by the recorder (VERDICT r1 #6)
+        stats_path = os.path.join(d, "step_stats.jsonl")
+        assert os.path.exists(stats_path)
+        lines = [json.loads(l) for l in open(stats_path)]
+        assert len(lines) == 2
+        assert all("num_dropped" in s and "bucket_occupancy" in s for s in lines)
+        assert all(np.isfinite(s["loss"]) for s in lines)
+        # final map loads back
+        from activegs_tpu.io import checkpoint
+
+        state, _cfg = checkpoint.load_gaussian_map(
+            os.path.join(d, "map", "map_final.npz")
+        )
+        assert int(state.count) > 0

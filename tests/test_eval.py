@@ -158,7 +158,7 @@ class TestEndToEndEval:
             buf = kf.add_frame(buf, f)
         import jax
 
-        state, buf, _ = trainer.train_keyframe(
+        state, buf, _, _aux = trainer.train_keyframe(
             state, buf, jax.random.PRNGKey(0), cfg, raster, steps=10
         )
 
@@ -189,3 +189,20 @@ class TestEndToEndEval:
         # crude mesh; the detailed quality gates live in the render tests
         assert out["mesh_accuracy"][0] < 100
         assert out["mesh_completion"][0] is not None
+
+
+class TestPerceptualMetric:
+    def test_identity_zero_and_sensitivity(self):
+        """Offline LPIPS stand-in: zero on identical images, monotone-ish in
+        corruption strength, permutation-sensitive (unlike plain MSE on
+        shuffled pixels it responds to structure at conv scales)."""
+        from activegs_tpu.eval import metrics
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+        assert metrics.cal_perceptual(img, img) == pytest.approx(0.0, abs=1e-10)
+        d_small = metrics.cal_perceptual(img, img + 0.05)
+        d_big = metrics.cal_perceptual(img, np.roll(img, 8, axis=1))
+        assert 0 < d_small < d_big
+        # deterministic across calls (fixed PRNG weights)
+        assert metrics.cal_perceptual(img, img + 0.05) == pytest.approx(d_small)
