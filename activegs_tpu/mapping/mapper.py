@@ -130,6 +130,15 @@ class IncrementalMapper:
         cap_b = gm.bucket_capacity(int(self.gm_state.count), self.map_cfg.capacity)
         sub_state = gm.slice_state(self.gm_state, cap_b)
 
+        # per-view in-view compaction: pick the static subset bucket from the
+        # batch this keyframe will sample (same key -> same batch), so every
+        # per-index cost in the train step scales with what the views SEE
+        max_in_view = int(
+            trainer.keyframe_view_stats(
+                sub_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
+            )
+        )
+        subset_bucket = trainer.pick_subset_bucket(max_in_view, cap_b)
         sub_state, self.keyframes, loss, train_aux = trainer.train_keyframe(
             sub_state,
             self.keyframes,
@@ -137,6 +146,7 @@ class IncrementalMapper:
             self.map_cfg,
             self.raster_cfg,
             mesh=self.mesh,
+            subset_bucket=subset_bucket,
         )
         n_frames = int(self.keyframes.count)
         require_prune = n_frames % self.map_cfg.prune_interval == 0

@@ -64,25 +64,55 @@ def batch_loss(
     cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
     bins=None,
+    subsets=None,
 ):
     """4-term mapping loss over a view batch (`gaussian_map.py:106-124`).
 
     Returns (loss, per_frame_error) where per_frame_error drives the
     weighted sampler (`track_performance`, `gaussian_map.py:132-139`).
+
+    `subsets` = (sels, sel_valids, invs) stacked over views (from
+    renderer.compact_in_view against the frozen keyframe state): each view
+    renders its compacted in-view gaussian bucket — exact under frozen bins
+    and much cheaper in per-index work (entry gather / VJP / binning all
+    scale with the bucket instead of the capacity).
     """
     rgb_gt, depth_gt, extrinsics, intrinsics = batch
     v, _, h, w = rgb_gt.shape
     state = _with_params(state, params)
     attrs = gm.attrs_of(state, cfg)
-    out, _ = render_views(
-        attrs,
-        extrinsics,
-        intrinsics,
-        (h, w),
-        raster_cfg,
-        background=jnp.asarray(cfg.background),
-        bins=bins,
-    )
+    if subsets is not None:
+        from ..render.renderer import pack_attrs, render_view, subset_view
+
+        packed = pack_attrs(attrs)
+        sels, selvs, invs = subsets
+
+        def one(args):
+            ext, intr, b, sel, selv, inv = args
+            attrs_v = subset_view(packed, (sel, selv, inv))
+            o, _aux = render_view(
+                attrs_v,
+                Camera(extrinsic=ext, intrinsic=intr),
+                (h, w),
+                raster_cfg,
+                background=jnp.asarray(cfg.background),
+                bin_result=b,
+            )
+            return o
+
+        out = jax.lax.map(
+            one, (extrinsics, intrinsics, bins, sels, selvs, invs)
+        )
+    else:
+        out, _ = render_views(
+            attrs,
+            extrinsics,
+            intrinsics,
+            (h, w),
+            raster_cfg,
+            background=jnp.asarray(cfg.background),
+            bins=bins,
+        )
 
     mask_vis = jax.lax.stop_gradient(out.opacity) > 1e-3
     mask_depth = depth_gt > 0.0
@@ -104,7 +134,51 @@ def batch_loss(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "raster_cfg", "steps", "sampler", "mesh")
+    jax.jit, static_argnames=("cfg", "raster_cfg", "sampler")
+)
+def keyframe_view_stats(
+    state: gm.GaussianMapState,
+    buf: kf.KeyframeBuffer,
+    key: jnp.ndarray,
+    cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+    sampler: str = "weighted",
+):
+    """Max per-view in-view gaussian count for the batch that
+    `train_keyframe` will sample with the SAME key (the mapper reads this on
+    the host to pick the static per-view subset bucket)."""
+    from ..render import preprocess as rp
+
+    sample = kf.sample_weighted if sampler == "weighted" else kf.sample_uniform
+    key, k1 = jax.random.split(key)
+    ids = sample(buf, k1, cfg.batch_size, cfg.active_size)
+    batch = kf.decode_frames(buf, ids)
+    h, w = batch[0].shape[-2:]
+    attrs0 = gm.attrs_of(state, cfg)
+
+    def one(c):
+        _, _, _, iv = rp.preprocess(
+            attrs0, Camera(extrinsic=c[0], intrinsic=c[1]), (h, w), raster_cfg
+        )
+        return jnp.sum(iv.astype(jnp.int32))
+
+    return jnp.max(jax.lax.map(one, (batch[2], batch[3])))
+
+
+def pick_subset_bucket(
+    max_count: int, capacity: int, min_bucket: int = 8192
+) -> int | None:
+    """Power-of-two per-view subset bucket, or None when compaction would
+    not shrink the problem (bucket ~ capacity)."""
+    b = min_bucket
+    while b < max_count:
+        b *= 2
+    return None if b * 2 > capacity else b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "raster_cfg", "steps", "sampler", "mesh", "subset_bucket"),
 )
 def train_keyframe(
     state: gm.GaussianMapState,
@@ -115,6 +189,7 @@ def train_keyframe(
     steps: int | None = None,
     sampler: str = "weighted",
     mesh=None,
+    subset_bucket: int | None = None,
 ):
     """Run the per-keyframe optimization (`GaussianMap.train`,
     `gaussian_map.py:66-130`): fresh Adam, `steps` iterations of
@@ -144,48 +219,86 @@ def train_keyframe(
         h, w = batch[0].shape[-2:]
         attrs0 = gm.attrs_of(state, cfg)
 
-        from ..render.renderer import prepare_view_bins
+        from ..render import preprocess as rp
+        from ..render.renderer import (
+            compact_in_view,
+            pack_attrs,
+            prepare_view_bins,
+            subset_view,
+        )
         from ..render.types import Camera
+
+        if subset_bucket is not None:
+            packed0 = pack_attrs(attrs0)
+
+            def prep_one(c):
+                cam = Camera(extrinsic=c[0], intrinsic=c[1])
+                _, _, _, iv = rp.preprocess(attrs0, cam, (h, w), raster_cfg)
+                sel, selv, inv, _n = compact_in_view(iv, subset_bucket)
+                attrs_v = subset_view(packed0, (sel, selv, inv))
+                bins_v = prepare_view_bins(attrs_v, cam, (h, w), raster_cfg)
+                return sel, selv, inv, bins_v
+
+            def prep_views(exts, intrs):
+                return jax.lax.map(prep_one, (exts, intrs))
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded import VIEW_AXIS
+
+                prep_views = jax.shard_map(
+                    prep_views,
+                    mesh=mesh,
+                    in_specs=(P(VIEW_AXIS), P(VIEW_AXIS)),
+                    out_specs=P(VIEW_AXIS),
+                    check_vma=False,
+                )
+            sels, selvs, invs, bins = prep_views(batch[2], batch[3])
+            subsets = (sels, selvs, invs)
+        else:
+            subsets = None
+            if mesh is not None:
+                from ..parallel import sharded
+
+                bins = sharded.sharded_view_bins(
+                    attrs0, batch[2], batch[3], mesh, (h, w), raster_cfg
+                )
+            else:
+                bins = jax.lax.map(
+                    lambda c: prepare_view_bins(
+                        attrs0,
+                        Camera(extrinsic=c[0], intrinsic=c[1]),
+                        (h, w),
+                        raster_cfg,
+                    ),
+                    (batch[2], batch[3]),
+                )
 
         if mesh is not None:
             from ..parallel import sharded
 
-            bins = sharded.sharded_view_bins(
-                attrs0, batch[2], batch[3], mesh, (h, w), raster_cfg
-            )
-
             def body(i, carry):
                 params, opt_state, buf, _ = carry
                 loss, grads, per_frame = sharded.sharded_train_step(
-                    params, state, batch, mesh, cfg, raster_cfg, bins
+                    params, state, batch, mesh, cfg, raster_cfg, bins, subsets
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 buf = kf.update_performance(buf, ids, per_frame)
                 return params, opt_state, buf, loss
 
-            params, opt_state, buf, last_loss = jax.lax.fori_loop(
-                0, steps, body, (params, opt_state, buf, jnp.float32(0.0))
-            )
-            aux = {"num_dropped": jnp.sum(bins.num_dropped)}
-            return _with_params(state, params), buf, last_loss, aux
+        else:
 
-        bins = jax.lax.map(
-            lambda c: prepare_view_bins(
-                attrs0, Camera(extrinsic=c[0], intrinsic=c[1]), (h, w), raster_cfg
-            ),
-            (batch[2], batch[3]),
-        )
-
-        def body(i, carry):
-            params, opt_state, buf, _ = carry
-            (loss, per_frame), grads = jax.value_and_grad(
-                batch_loss, has_aux=True
-            )(params, state, batch, cfg, raster_cfg, bins)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            buf = kf.update_performance(buf, ids, per_frame)
-            return params, opt_state, buf, loss
+            def body(i, carry):
+                params, opt_state, buf, _ = carry
+                (loss, per_frame), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(params, state, batch, cfg, raster_cfg, bins, subsets)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                buf = kf.update_performance(buf, ids, per_frame)
+                return params, opt_state, buf, loss
 
         params, opt_state, buf, last_loss = jax.lax.fori_loop(
             0, steps, body, (params, opt_state, buf, jnp.float32(0.0))

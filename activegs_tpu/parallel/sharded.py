@@ -44,14 +44,18 @@ def sharded_train_step(
     cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
     bins=None,
+    subsets=None,
 ):
     """One data-parallel loss+grad evaluation: the view batch is sharded
     over the mesh, gaussian parameters are replicated, and gradients are
     psum-reduced over ICI (overlapping with backward under XLA latency
-    hiding). `bins` optionally carries per-view frozen BinResults stacked
-    over the view axis (sharded alongside the batch).
+    hiding). `bins` optionally carries per-view frozen BinResults and
+    `subsets` per-view compaction indices (renderer.compact_in_view),
+    stacked over the view axis (both sharded alongside the batch).
     Returns (loss, grads, per_frame_errors)."""
-    bin_spec = P() if bins is None else jax.tree.map(lambda _: P(VIEW_AXIS), bins)
+    view_spec = lambda x: P() if x is None else jax.tree.map(
+        lambda _: P(VIEW_AXIS), x
+    )
 
     @functools.partial(
         jax.shard_map,
@@ -60,17 +64,20 @@ def sharded_train_step(
             P(),
             P(),
             (P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
-            bin_spec,
+            view_spec(bins),
+            view_spec(subsets),
         ),
         out_specs=(P(), P(), P(VIEW_AXIS)),
         check_vma=False,  # binning's scatter loops carry device-invariant inits
     )
-    def step(params, state, batch, bins):
+    def step(params, state, batch, bins, subsets):
         n_total = batch[0].shape[0] * jax.lax.psum(1, VIEW_AXIS)
         n_local = batch[0].shape[0]
 
         def local_loss(p):
-            loss, per_frame = batch_loss(p, state, batch, cfg, raster_cfg, bins)
+            loss, per_frame = batch_loss(
+                p, state, batch, cfg, raster_cfg, bins, subsets
+            )
             # batch_loss averages over local views; rescale so the psum of
             # local losses equals the global mean
             return loss * (n_local / n_total), per_frame
@@ -82,7 +89,7 @@ def sharded_train_step(
         grads = jax.lax.psum(grads, VIEW_AXIS)
         return loss, grads, per_frame
 
-    return step(params, state, batch, bins)
+    return step(params, state, batch, bins, subsets)
 
 
 def sharded_view_bins(

@@ -33,13 +33,13 @@ def composite_dense(
 ):
     """Composite depth-ordered gaussians densely over the full image.
 
-    params2d: (PARAM_DIM, N); order: (N,) int32 front-to-back ordering
+    params2d: (N, PARAM_DIM); order: (N,) int32 front-to-back ordering
     (invalid gaussians must have zeroed params). Returns
     (out (10, H*W), importance (N,), count (N,)).
     """
     h, w = image_shape
-    n = params2d.shape[1]
-    entries = params2d[:, order]  # (PARAM_DIM, N) sorted front-to-back
+    n = params2d.shape[0]
+    entries = params2d[order, :]  # (N, PARAM_DIM) sorted front-to-back
 
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
@@ -47,7 +47,7 @@ def composite_dense(
     px = gx.reshape(1, -1)
     py = gy.reshape(1, -1)
 
-    cols = pp.entry_cols(entries.T)
+    cols = pp.entry_cols(entries)
     alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (N, P)
 
     one_m = 1.0 - alpha
@@ -56,19 +56,10 @@ def composite_dense(
     weight = alpha * excl  # (N, P)
     t_final = cum[-1]
 
-    feats = jnp.stack(
-        [
-            entries[6],
-            entries[7],
-            entries[8],
-            entries[9],
-            entries[10],
-            entries[11],
-            entries[16],
-        ],
-        axis=0,
-    )  # (7, N)
-    ch = feats @ weight  # (7, P)
+    feats = jnp.concatenate(
+        [entries[:, 6:12], entries[:, 16:17]], axis=1
+    )  # (N, 7)
+    ch = feats.T @ weight  # (7, P)
     depth = jnp.sum(weight * tdep, axis=0, keepdims=True)
 
     out = jnp.concatenate(

@@ -31,7 +31,11 @@ def preprocess(
     """Project all gaussians into one view.
 
     Returns:
-      params2d: (PARAM_DIM, N) float32 — entry parameter rows (types.py),
+      params2d: (N, PARAM_DIM) float32 — entry parameters, ROW-major: the
+                entry gather copies contiguous 96-byte rows and its output
+                feeds the Pallas kernels' (K, PARAM_DIM) chunk DMAs without
+                a relayout copy (profiled: the old (PARAM_DIM, N) layout
+                made XLA gather + copy cost ~7 ms/step at N=262k),
       radius:   (N,) float32 — screen-space bbox radius in pixels,
       depth_z:  (N,) float32 — camera z (sort key),
       in_view:  (N,) bool — frustum/validity mask (the `radii > 0` mask of
@@ -185,9 +189,9 @@ def preprocess(
         pz,
     ]
     rows += [zero] * (PARAM_DIM - len(rows))
-    params2d = jnp.stack(rows, axis=0).astype(jnp.float32)
+    params2d = jnp.stack(rows, axis=1).astype(jnp.float32)  # (N, PARAM_DIM)
     # zero out invalid gaussians so stray entries are inert
-    params2d = jnp.where(in_view[None, :], params2d, 0.0)
+    params2d = jnp.where(in_view[:, None], params2d, 0.0)
     return params2d, jnp.where(in_view, radius, 0.0), pz, in_view
 
 

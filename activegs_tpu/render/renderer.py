@@ -71,8 +71,8 @@ def prepare_view_bins(
     )
     sg = jax.lax.stop_gradient
     return binning.bin_entries(
-        sg(params2d[0]),
-        sg(params2d[1]),
+        sg(params2d[:, 0]),
+        sg(params2d[:, 1]),
         sg(radius),
         sg(depth_z),
         in_view,
@@ -84,7 +84,11 @@ def prepare_view_bins(
 
 @jax.custom_vjp
 def _gather_entries_inv(params2d, gid_clipped, mask, inv_pos):
-    return jnp.where(mask, params2d[:, gid_clipped], 0.0)
+    # row gather from (N, PARAM_DIM) — XLA's fast layout for per-index row
+    # copies — then one cheap relayout to the kernels' (PARAM_DIM, E)
+    # column-major contract (Mosaic requires 128-aligned lane slices, so the
+    # kernels cannot take (K, 24) HBM blocks directly)
+    return jnp.where(mask, params2d[gid_clipped, :], 0.0).T
 
 
 def _gather_entries_inv_fwd(params2d, gid_clipped, mask, inv_pos):
@@ -103,10 +107,12 @@ def _gather_entries_inv_bwd(res, g):
     row count, so batching the dup axis into one call halves it)."""
     gid_clipped, mask, inv_pos = res
     n, max_dup = inv_pos.shape
-    # dup-major flattening keeps N minor in the reduce (full-lane VPU adds)
+    # relayout the (PARAM_DIM, E) cotangent to rows once, then row-gather;
+    # dup-major flattening keeps the reduce a plain sum over dup row blocks
+    gt = g.T  # (E, PARAM_DIM)
     idx = inv_pos.T.reshape(-1)  # (max_dup*N,)
-    gj = jnp.where((idx >= 0)[None, :], g[:, jnp.clip(idx, 0)], 0.0)
-    d = jnp.sum(gj.reshape(g.shape[0], max_dup, n), axis=1)
+    gj = jnp.where((idx >= 0)[:, None], gt[jnp.clip(idx, 0), :], 0.0)
+    d = jnp.sum(gj.reshape(max_dup, n, gt.shape[1]), axis=0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(gid_clipped), f0(mask), f0(inv_pos)
 
@@ -121,8 +127,8 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
     if bin_result is None:
         sg = jax.lax.stop_gradient
         b = binning.bin_entries(
-            sg(params2d[0]),
-            sg(params2d[1]),
+            sg(params2d[:, 0]),
+            sg(params2d[:, 1]),
             sg(radius),
             sg(depth_z),
             in_view,
@@ -132,13 +138,107 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
     else:
         b = bin_result
     gidc = jnp.clip(b.gid, 0)
-    mask = (b.gid >= 0)[None, :]
+    mask = (b.gid >= 0)[:, None]
     if b.inv_pos is not None:
         entries = _gather_entries_inv(params2d, gidc, mask, b.inv_pos)
     else:
         # jnp.where (not multiply) so the VJP never touches garbage slots
-        entries = jnp.where(mask, params2d[:, gidc], 0.0)
+        entries = jnp.where(mask, params2d[gidc, :], 0.0).T
     return entries, b, params2d, radius, in_view
+
+
+# ---------------------------------------------------------------------------
+# per-view in-view compaction
+# ---------------------------------------------------------------------------
+#
+# Per-view render cost on TPU is dominated by per-INDEX machinery (the entry
+# gather, its inverse-position VJP gather, and the binning sort), all sized
+# by the gaussian-capacity bucket N even though a single view typically sees
+# a fraction of the map. Compacting each view to its frozen in-view subset
+# (a power-of-two bucket) shrinks every one of those index counts; under the
+# frozen-bins contract the result is EXACT: gaussians outside the frozen
+# in-view set contribute nothing to that view either way.
+
+PACK_DIM = 16  # means3 scales3 rot4 opac1 col3 conf1 valid1 = 16
+
+
+def pack_attrs(attrs: GaussianAttrs) -> jnp.ndarray:
+    """(N, 16) row-major packing so a per-view subset is ONE row gather."""
+    cols = [
+        attrs.means,
+        attrs.scales,
+        attrs.rotations,
+        attrs.opacities[:, None],
+        attrs.colors,
+        attrs.confidences[:, None],
+        attrs.valid.astype(jnp.float32)[:, None],
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_attrs(packed: jnp.ndarray) -> GaussianAttrs:
+    return GaussianAttrs(
+        means=packed[:, 0:3],
+        scales=packed[:, 3:6],
+        rotations=packed[:, 6:10],
+        opacities=packed[:, 10],
+        colors=packed[:, 11:14],
+        confidences=packed[:, 14],
+        valid=packed[:, 15] > 0.5,
+    )
+
+
+@jax.custom_vjp
+def subset_packed(packed, sel_clip, sel_valid, inv_sel):
+    """Row-gather packed attrs to a compact bucket; the VJP maps cotangents
+    back with the precomputed inverse positions (a gather, never a
+    scatter-add — XLA TPU scatter sorts its indices)."""
+    return jnp.where(sel_valid[:, None], packed[sel_clip, :], 0.0)
+
+
+def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
+    return subset_packed(packed, sel_clip, sel_valid, inv_sel), (
+        sel_clip,
+        sel_valid,
+        inv_sel,
+    )
+
+
+def _subset_packed_bwd(res, g):
+    sel_clip, sel_valid, inv_sel = res
+    d = jnp.where((inv_sel >= 0)[:, None], g[jnp.clip(inv_sel, 0), :], 0.0)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d, f0(sel_clip), f0(sel_valid), f0(inv_sel)
+
+
+subset_packed.defvjp(_subset_packed_fwd, _subset_packed_bwd)
+
+
+def compact_in_view(in_view: jnp.ndarray, bucket: int):
+    """Compact indices of the in-view gaussians into a static bucket.
+
+    Returns (sel (B,) int32 clipped, sel_valid (B,) bool, inv (N,) int32
+    with -1 for absent, count). Built from two sorts (no scatter): a stable
+    sort by ~in_view yields the selection; sorting that permutation back
+    yields every gaussian's position."""
+    n = in_view.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = (~in_view).astype(jnp.int32)
+    _, sel_full = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+    _, pos = jax.lax.sort((sel_full, iota), num_keys=1)
+    count = jnp.sum(in_view.astype(jnp.int32))
+    sel = sel_full[:bucket]
+    sel_valid = jnp.arange(bucket, dtype=jnp.int32) < count
+    sel = jnp.where(sel_valid, sel, 0)
+    inv = jnp.where(in_view & (pos < bucket), pos, -1)
+    return sel, sel_valid, inv, count
+
+
+def subset_view(packed: jnp.ndarray, subset) -> GaussianAttrs:
+    """Differentiable compact attrs for one view. subset = (sel, sel_valid,
+    inv) from compact_in_view."""
+    sel, sel_valid, inv = subset
+    return unpack_attrs(subset_packed(packed, sel, sel_valid, inv))
 
 
 def render_view(

@@ -225,11 +225,18 @@ def main():
         }
         buf = kf.add_frame(buf, frame)
 
-    # match the mission loop: heavy programs run on the live-count bucket
+    # match the mission loop: heavy programs run on the live-count bucket,
+    # and each view trains its compacted in-view subset (mapper.step parity)
     cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
     state = gm.slice_state(state, cap_b)
+    max_in_view = int(
+        trainer.keyframe_view_stats(state, buf, jax.random.PRNGKey(0), cfg, raster_cfg)
+    )
+    subset_bucket = trainer.pick_subset_bucket(max_in_view, cap_b)
 
-    run = lambda s, b, k: trainer.train_keyframe(s, b, k, cfg, raster_cfg, steps=steps)
+    run = lambda s, b, k: trainer.train_keyframe(
+        s, b, k, cfg, raster_cfg, steps=steps, subset_bucket=subset_bucket
+    )
 
     def perturbed(i):
         # unique inputs per call: the serving stack memoizes identical

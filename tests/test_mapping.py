@@ -323,3 +323,101 @@ class TestKeyframeEviction:
         buf = kf.add_frame(buf, f)
         assert int(buf.count) == 1
         assert float(buf.performance[0]) == 10.0
+
+
+class TestSubsetTraining:
+    """Per-view in-view compaction must be EXACT vs the full path (frozen
+    bins contract): same loss trajectory, same parameter updates."""
+
+    def _setup(self, v=4, res=32):
+        from tests.test_render import make_attrs
+
+        rng = np.random.default_rng(5)
+        cfg = gm.MapConfig(capacity=256, batch_size=4, optimization_steps=2)
+        raster = RasterConfig(interpret=True)
+        attrs = make_attrs(64, seed=2)
+        state = gm.init_state(cfg)
+        n = attrs.num
+        state = dataclasses.replace(
+            state,
+            means=state.means.at[:n].set(attrs.means),
+            rotations_raw=state.rotations_raw.at[:n].set(attrs.rotations),
+            colors=state.colors.at[:n].set(attrs.colors),
+            opacities_raw=state.opacities_raw.at[:n].set(0.5),
+            count=jnp.int32(n),
+        )
+        buf = kf.init_buffer(v, res, res)
+        intr = geo.intrinsics_from_fov(60.0, 60.0)
+        for i in range(v):
+            buf = kf.add_frame(
+                buf,
+                {
+                    "rgb": jnp.asarray(
+                        rng.uniform(0, 1, (3, res, res)).astype(np.float32)
+                    ),
+                    "depth": jnp.asarray(
+                        rng.uniform(1, 3, (1, res, res)).astype(np.float32)
+                    ),
+                    "extrinsic": jnp.eye(4),
+                    "intrinsic": intr,
+                    "depth_range": jnp.asarray([0.0, 5.0]),
+                },
+            )
+        return cfg, raster, state, buf
+
+    def test_compact_in_view_roundtrip(self):
+        from activegs_tpu.render.renderer import compact_in_view
+
+        rng = np.random.default_rng(0)
+        iv = jnp.asarray(rng.uniform(size=100) > 0.6)
+        sel, selv, inv, count = compact_in_view(iv, 64)
+        iv_n = np.asarray(iv)
+        assert int(count) == iv_n.sum()
+        sel_n, selv_n, inv_n = map(np.asarray, (sel, selv, inv))
+        # selected = exactly the in-view indices, ascending
+        got = sel_n[selv_n]
+        np.testing.assert_array_equal(got, np.nonzero(iv_n)[0])
+        # inverse maps every in-view gaussian to its slot
+        for g in np.nonzero(iv_n)[0]:
+            assert sel_n[inv_n[g]] == g
+        assert (inv_n[~iv_n] == -1).all()
+
+    def test_train_subset_matches_full(self):
+        cfg, raster, state, buf = self._setup()
+        key = jax.random.PRNGKey(11)
+        s_full, _, loss_full, _ = trainer.train_keyframe(state, buf, key, cfg, raster)
+        s_sub, _, loss_sub, _ = trainer.train_keyframe(
+            state, buf, key, cfg, raster, subset_bucket=128
+        )
+        assert float(loss_sub) == pytest.approx(float(loss_full), rel=1e-5)
+        for f in ("means", "scales_raw", "colors", "opacities_raw"):
+            a, b = np.asarray(getattr(s_sub, f)), np.asarray(getattr(s_full, f))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-5, err_msg=f)
+
+    def test_train_subset_sharded_matches_full(self):
+        cfg, raster, state, buf = self._setup()
+        from activegs_tpu.parallel import make_view_mesh
+
+        key = jax.random.PRNGKey(11)
+        mesh = make_view_mesh(4)
+        s_full, _, loss_full, _ = trainer.train_keyframe(state, buf, key, cfg, raster)
+        s_sub, _, loss_sub, _ = trainer.train_keyframe(
+            state, buf, key, cfg, raster, mesh=mesh, subset_bucket=128
+        )
+        assert float(loss_sub) == pytest.approx(float(loss_full), rel=1e-4)
+        a, b = np.asarray(s_sub.means), np.asarray(s_full.means)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+    def test_keyframe_view_stats_and_bucket(self):
+        cfg, raster, state, buf = self._setup()
+        mx = int(
+            trainer.keyframe_view_stats(
+                state, buf, jax.random.PRNGKey(11), cfg, raster
+            )
+        )
+        assert 0 < mx <= 64
+        assert trainer.pick_subset_bucket(mx, 256, min_bucket=32) in (32, 64, 128, None)
+        assert trainer.pick_subset_bucket(100, 8192, min_bucket=32) == 128
+        assert trainer.pick_subset_bucket(6000, 8192, min_bucket=32) is None

@@ -91,13 +91,13 @@ class TestBinning:
             attrs, make_camera(), (h, w), cfg
         )
         b = binning.bin_entries(
-            params2d[0], params2d[1], radius, depth_z, in_view, (h, w), cfg
+            params2d[:, 0], params2d[:, 1], radius, depth_z, in_view, (h, w), cfg
         )
         assert int(b.num_dropped) == 0
         gid = np.asarray(b.gid)
         starts = np.asarray(b.tile_start)
         lens = np.asarray(b.tile_len)
-        mx, my = np.asarray(params2d[0]), np.asarray(params2d[1])
+        mx, my = np.asarray(params2d[:, 0]), np.asarray(params2d[:, 1])
         rad = np.asarray(radius)
         z = np.asarray(depth_z)
         iv = np.asarray(in_view)
@@ -132,7 +132,7 @@ class TestBinning:
             attrs, make_camera(), (h, w), cfg
         )
         b = binning.bin_entries(
-            params2d[0], params2d[1], radius, depth_z, in_view, (h, w), cfg
+            params2d[:, 0], params2d[:, 1], radius, depth_z, in_view, (h, w), cfg
         )
         assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
 
