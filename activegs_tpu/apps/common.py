@@ -18,6 +18,7 @@ def parse_cli(config_name: str):
     overrides = [a for a in sys.argv[1:] if "=" in a]
     cfg = load_config(config_name, overrides)
     runtime.setup_cache()
+    runtime.init_distributed()  # no-op unless a pod-slice env opts in
     return cfg
 
 

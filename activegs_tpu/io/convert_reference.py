@@ -1,0 +1,116 @@
+"""Reference-checkpoint interop: convert the reference's torch `.th` map
+snapshots into this framework's npz checkpoints (and back).
+
+The reference saves its gaussian map with `torch.save` as a flat dict
+(`/root/reference/mapping/gaussian_map.py:491-527`): raw parameter tensors
+(means, log scales, SH0 harmonics, opacity logits, quaternions) plus the
+Welford view statistics and a few scalars. Field conventions map 1:1 onto
+`GaussianMapState` (raw/pre-activation in both frameworks; colors are the
+SH0 band passthrough), so replaying or evaluating a reference-produced map
+on TPU needs no numeric transformation — only a container change.
+
+CLI:
+    python -m activegs_tpu.io.convert_reference map_final.th out.npz
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mapping import gaussians as gm
+from . import checkpoint
+
+
+def load_reference_map(path: str) -> dict:
+    """Load a reference `.th` checkpoint to numpy (CPU torch, no CUDA)."""
+    import torch
+
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in d.items():
+        out[k] = v.numpy() if hasattr(v, "numpy") else v
+    return out
+
+
+def reference_to_state(
+    d: dict, capacity: int | None = None
+) -> tuple[gm.GaussianMapState, gm.MapConfig]:
+    """Map the reference dict onto (GaussianMapState, MapConfig)."""
+    means = np.asarray(d["means"], np.float32)
+    n = means.shape[0]
+    cap = capacity or gm.bucket_capacity(n, 1 << 22)
+    assert cap >= n, f"capacity {cap} < {n} gaussians"
+    cfg = gm.MapConfig(
+        capacity=cap,
+        scale_factor=float(d.get("scale_factor", 0.01)),
+        background=tuple(np.asarray(d.get("background_color", (0, 0, 0))).tolist()),
+    )
+    state = gm.init_state(cfg)
+    harmonics = np.asarray(d["harmonics"], np.float32)
+    colors = harmonics[:, 0, :] if harmonics.ndim == 3 else harmonics
+    opac = np.asarray(d["opacities"], np.float32).reshape(n, -1)[:, 0]
+
+    def put(field, value):
+        arr = getattr(state, field)
+        return arr.at[:n].set(jnp.asarray(np.asarray(value, np.float32)))
+
+    state = dataclasses.replace(
+        state,
+        means=put("means", means),
+        scales_raw=put("scales_raw", d["scales"]),
+        rotations_raw=put("rotations_raw", d["rotations"]),
+        opacities_raw=put("opacities_raw", opac),
+        colors=put("colors", colors),
+        view_scores=put("view_scores", d["view_scores"]),
+        view_supports=put("view_supports", d["view_supports"]),
+        view_means=put("view_means", d["view_means"]),
+        count=jnp.int32(n),
+    )
+    return state, cfg
+
+
+def convert(src_th: str, dst_npz: str, capacity: int | None = None) -> int:
+    """`.th` -> npz. Returns the live gaussian count."""
+    d = load_reference_map(src_th)
+    state, cfg = reference_to_state(d, capacity)
+    checkpoint.save_gaussian_map(dst_npz, state, cfg)
+    return int(state.count)
+
+
+def state_to_reference(state: gm.GaussianMapState, cfg: gm.MapConfig, path: str):
+    """npz-state -> reference `.th` (for running our maps in the reference's
+    eval/GUI stack)."""
+    import torch
+
+    n = int(state.count)
+    t = lambda x: torch.from_numpy(np.asarray(x[:n]))
+    torch.save(
+        {
+            "means": t(state.means),
+            "scales": t(state.scales_raw),
+            "harmonics": t(state.colors)[:, None, :],
+            "opacities": t(state.opacities_raw)[:, None],
+            "rotations": t(state.rotations_raw),
+            "view_scores": t(state.view_scores),
+            "view_supports": t(state.view_supports),
+            "view_means": t(state.view_means),
+            "near": 0.0,
+            "far": 5.0,
+            "use_view_direction": cfg.use_view_distribution,
+            "background_color": list(cfg.background),
+            "scale_factor": cfg.scale_factor,
+        },
+        path,
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: python -m activegs_tpu.io.convert_reference in.th out.npz")
+        sys.exit(1)
+    n = convert(sys.argv[1], sys.argv[2])
+    print(f"converted {n} gaussians: {sys.argv[1]} -> {sys.argv[2]}")

@@ -53,7 +53,11 @@ class IncrementalMapper:
             while usable * 2 <= n_dev and map_cfg.batch_size % (usable * 2) == 0:
                 usable *= 2
             if usable > 1:
-                self.mesh = sharded.make_view_mesh(usable)
+                if jax.process_count() > 1 and usable == n_dev:
+                    # multi-host slice: DCN-aware device order (ICI-major)
+                    self.mesh = sharded.make_hybrid_view_mesh()
+                else:
+                    self.mesh = sharded.make_view_mesh(usable)
 
         self.simulator = None
         self.planner = None

@@ -36,6 +36,22 @@ def make_view_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs[:n], (VIEW_AXIS,))
 
 
+def make_hybrid_view_mesh() -> Mesh:
+    """View mesh spanning every host of a multi-host slice (after
+    runtime.init_distributed), ordered ICI-major within DCN groups via
+    `mesh_utils.create_hybrid_device_mesh` so neighbouring view shards sit
+    on the same host and the psum tree reduces over ICI before touching
+    DCN. Falls back to the flat single-host mesh."""
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        dm = mesh_utils.create_hybrid_device_mesh(
+            (jax.local_device_count(),), (jax.process_count(),)
+        )
+        return Mesh(dm.reshape(-1), (VIEW_AXIS,))
+    return make_view_mesh()
+
+
 def sharded_train_step(
     params: dict,
     state: gm.GaussianMapState,

@@ -24,6 +24,27 @@ def setup_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def init_distributed() -> bool:
+    """Initialize `jax.distributed` for multi-host TPU slices.
+
+    Opt-in (SURVEY §2.2 / BASELINE multi-host north star): set
+    ACTIVEGS_DISTRIBUTED=1 on every host of a pod slice (or export
+    JAX_COORDINATOR_ADDRESS / let Cloud TPU metadata auto-detect). After
+    initialization `jax.devices()` spans all hosts, so the existing view
+    mesh (parallel.make_view_mesh / make_hybrid_view_mesh) and its psum
+    collectives transparently cover the multi-host case — XLA routes
+    reductions over ICI within a host and DCN across hosts. A no-op on
+    single-host setups (this machine's axon tunnel exposes one chip).
+    Returns True when distributed mode was initialized."""
+    if not (
+        os.environ.get("ACTIVEGS_DISTRIBUTED")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def force_cpu(host_devices: int = 8) -> None:
     """Force the CPU backend with virtual devices (tests / dry runs)."""
     flags = os.environ.get("XLA_FLAGS", "")
