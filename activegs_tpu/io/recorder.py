@@ -31,6 +31,14 @@ class MissionRecorder:
         self.camera_params_list = []
         self.global_path = []
         os.makedirs(save_dir, exist_ok=True)
+        # fresh mission per recorder: a rerun into the same experiment dir
+        # must not append to the previous run's snapshot index / telemetry
+        # (the reference creates a new numbered dir per run, `main.py:31-39`;
+        # we truncate instead so eval never sees duplicated snapshot lines)
+        for stale in ("step_stats.jsonl", os.path.join("map", "record_info.txt")):
+            p = os.path.join(save_dir, stale)
+            if os.path.exists(p):
+                os.remove(p)
 
     # ---- budget (`common.py:204-206,289-329`) ----
 

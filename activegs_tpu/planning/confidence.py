@@ -102,7 +102,7 @@ class ConfidencePlanner(PlanBase):
                 grid,
                 (h, w),
                 self.map_cfg,
-                self.raster_cfg,
+                self.utility_raster_cfg,
             )
             explore, exploit = explore[:n], exploit[:n]
         else:
@@ -116,7 +116,7 @@ class ConfidencePlanner(PlanBase):
                 grid,
                 (h, w),
                 self.map_cfg,
-                self.raster_cfg,
+                self.utility_raster_cfg,
             )
         utility = self.cfg.explore_weight * np.asarray(explore) + np.asarray(exploit)
         return utility, time.time() - t0

@@ -29,6 +29,6 @@ class ExplorationPlanner(PlanBase):
             grid,
             (h, w),
             self.map_cfg,
-            self.raster_cfg,
+            self.utility_raster_cfg,
         )
         return np.asarray(explore), time.time() - t0

@@ -36,6 +36,13 @@ class PlannerConfig:
     use_confidence: bool = True
     path_length_factor: float = 0.5
     render_ratio: float = 0.25
+    # lighter rasterizer settings for the ~100 utility renders: at quarter
+    # resolution the tile span per surfel shrinks ~4x, so a max_dup of 2 and
+    # a 1.0x entry budget keep the per-candidate sort/gather sizes half of
+    # the training config's with negligible truncation (utilities are
+    # scoring heuristics; drops are counted and visible in num_dropped)
+    utility_max_dup: int = 2
+    utility_budget_mult: float = 1.0
     explore_weight: float = 1000.0
     flight_speed: float = 1.0
     init_pose: tuple = (
@@ -67,6 +74,11 @@ class PlanBase:
         # utilities shard over devices (parallel/sharded.py); set by the
         # mission wiring when more than one device is visible
         self.mesh = None
+        self.utility_raster_cfg = dataclasses.replace(
+            raster_cfg,
+            max_dup=cfg.utility_max_dup,
+            entry_budget_mult=cfg.utility_budget_mult,
+        )
 
     # ---- candidate generation (`plan_base.py:131-206`) ----
 
