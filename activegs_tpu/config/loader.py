@@ -135,6 +135,8 @@ def build_components(cfg: ConfigNode):
     )
     r = cfg.mapper.get("raster", {})
     raster_cfg = RasterConfig(
+        tile_h=r.get("tile_h", RasterConfig.tile_h),
+        tile_w=r.get("tile_w", RasterConfig.tile_w),
         max_dup=r.get("max_dup", 4),
         interpret=r.get("interpret", None),
     )

@@ -32,12 +32,32 @@ def normal_tv_loss(
     """Edge-aware normal total-variation loss (`normal_tv_loss_fc`,
     `mapping/utils.py:28-39`): squared normal differences to 4 neighbors,
     gated to flat-depth regions (depth diff <= 1e-4) and weighted by
-    exp(-diff / 2 sigma^2). depths are detached by the caller."""
-    normal_diff = central_diff_sq(normals)  # (V, 4, H, W)
-    depth_diff = central_diff_sq(depths)
-    depth_mask = (depth_diff <= 1e-4).astype(normals.dtype)
-    weights = jnp.exp(-normal_diff / (2.0 * sigma**2))
-    return jnp.mean(depth_mask * weights * normal_diff * mask)
+    exp(-diff / 2 sigma^2). depths are detached by the caller.
+
+    Equivalent to `mean(depth_mask * exp(-cd(n)/2s^2) * cd(n) * mask)` with
+    cd = central_diff_sq, but computed in ONE pass per axis: the left/right
+    (up/down) differences are the same squared values at shifted positions,
+    so each axis contributes `term * (mask_left + mask_right)` — this avoids
+    materializing the (V, C, 4, H, W) stack (100 MB/step in the train loop,
+    fwd + VJP) that the naive stacked form costs."""
+    v, _, h, w = normals.shape
+    m = mask[:, 0] if mask.ndim == 4 else mask  # (V, H, W)
+    inv_two_sigma_sq = 1.0 / (2.0 * sigma**2)
+
+    def axis_term(sl_a, sl_b):
+        """Slices select the two adjacent views along one axis."""
+        nd = jnp.sum((normals[sl_a] - normals[sl_b]) ** 2, axis=1)  # (V,h',w')
+        dd = jnp.sum((depths[sl_a] - depths[sl_b]) ** 2, axis=1)
+        term = (dd <= 1e-4) * jnp.exp(-nd * inv_two_sigma_sq) * nd
+        msl_a = (sl_a[0],) + sl_a[2:]
+        msl_b = (sl_b[0],) + sl_b[2:]
+        return jnp.sum(term * (m[msl_a] + m[msl_b]))
+
+    s = slice(None)
+    total = axis_term(
+        (s, s, s, slice(None, -1)), (s, s, s, slice(1, None))
+    ) + axis_term((s, s, slice(None, -1), s), (s, s, slice(1, None), s))
+    return total / (v * 4 * h * w)
 
 
 def scale_loss(scales: jnp.ndarray) -> jnp.ndarray:

@@ -54,7 +54,8 @@ def _round_up(x: int, m: int) -> int:
 def bin_entries(
     mean_x: jnp.ndarray,
     mean_y: jnp.ndarray,
-    radius: jnp.ndarray,
+    ext_x: jnp.ndarray,
+    ext_y: jnp.ndarray,
     depth_z: jnp.ndarray,
     in_view: jnp.ndarray,
     image_shape: tuple[int, int],
@@ -62,6 +63,12 @@ def bin_entries(
     with_inverse: bool = False,
 ) -> BinResult:
     """Build the K-aligned per-tile entry layout with ONE sort.
+
+    `ext_x`/`ext_y` are per-axis half-extents in pixels (the AABB of the
+    sigma_extent ellipse, preprocess rows P_EXT_X/P_EXT_Y) — tighter than
+    the 3DGS circumscribed-circle convention for elongated surfels, and
+    still conservative: every pixel whose alpha survives `alpha_cut` within
+    the sigma_extent level set lies inside the box.
 
     The dense (N, max_dup) candidate grid is enumerated gaussian-major and
     its enumeration index doubles as a third sort key, so the
@@ -77,16 +84,16 @@ def bin_entries(
     max_dup = cfg.max_dup
 
     # --- clamped tile span, capped at max_dup tiles (centered shrink) ---
-    tx0 = jnp.clip(jnp.floor((mean_x - radius) / cfg.tile_w), 0, ntx - 1).astype(
+    tx0 = jnp.clip(jnp.floor((mean_x - ext_x) / cfg.tile_w), 0, ntx - 1).astype(
         jnp.int32
     )
-    tx1 = jnp.clip(jnp.floor((mean_x + radius) / cfg.tile_w), 0, ntx - 1).astype(
+    tx1 = jnp.clip(jnp.floor((mean_x + ext_x) / cfg.tile_w), 0, ntx - 1).astype(
         jnp.int32
     )
-    ty0 = jnp.clip(jnp.floor((mean_y - radius) / cfg.tile_h), 0, nty - 1).astype(
+    ty0 = jnp.clip(jnp.floor((mean_y - ext_y) / cfg.tile_h), 0, nty - 1).astype(
         jnp.int32
     )
-    ty1 = jnp.clip(jnp.floor((mean_y + radius) / cfg.tile_h), 0, nty - 1).astype(
+    ty1 = jnp.clip(jnp.floor((mean_y + ext_y) / cfg.tile_h), 0, nty - 1).astype(
         jnp.int32
     )
     sw = tx1 - tx0 + 1

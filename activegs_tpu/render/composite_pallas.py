@@ -238,9 +238,10 @@ def _bwd_kernel(
         e = rbuf[i % 2]
         et = e.T
         cols = pp.entry_cols(et)
-        alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)
+        terms = pp.eval_pair_terms_bwd(cols, px, py, cfg)
+        tdep = terms["t"]
         kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
-        alpha = jnp.where(kmask, alpha, 0.0)
+        alpha = jnp.where(kmask, terms["alpha"], 0.0)
 
         one_m = 1.0 - alpha
         cum = _cumprod_k(one_m, kchunk)
@@ -269,17 +270,29 @@ def _bwd_kernel(
         dalpha = jnp.where(active, dalpha, 0.0)
 
         # ---- chain into entry parameters ----
-        dx = px - cols["mean_x"]
-        dy = py - cols["mean_y"]
+        # per-entry constants (ca/cb/cc) are pulled OUT of the per-pair
+        # reductions: the five mean/conic grads reduce to five moment sums
+        # of dpow against {dx, dy, dx^2, dxdy, dy^2} (t1/t2 shared), ~10
+        # fewer VPU ops per pair than the direct integrand forms
+        dx = terms["dx"]
+        dy = terms["dy"]
         dpow = dalpha * alpha  # d/d(power) premultiplier
-        dmean_x = jnp.sum(dpow * (cols["ca"] * dx + cols["cb"] * dy), 1, keepdims=True)
-        dmean_y = jnp.sum(dpow * (cols["cb"] * dx + cols["cc"] * dy), 1, keepdims=True)
-        dca = jnp.sum(-0.5 * dx * dx * dpow, 1, keepdims=True)
-        dcb = jnp.sum(-dx * dy * dpow, 1, keepdims=True)
-        dcc = jnp.sum(-0.5 * dy * dy * dpow, 1, keepdims=True)
-        dop = jnp.sum(
-            dalpha * alpha / jnp.maximum(cols["op"], 1e-12), 1, keepdims=True
-        )
+        t1 = dpow * dx
+        t2 = dpow * dy
+        s_x = jnp.sum(t1, 1, keepdims=True)
+        s_y = jnp.sum(t2, 1, keepdims=True)
+        s_xx = jnp.sum(t1 * dx, 1, keepdims=True)
+        s_xy = jnp.sum(t1 * dy, 1, keepdims=True)
+        s_yy = jnp.sum(t2 * dy, 1, keepdims=True)
+        dmean_x = cols["ca"] * s_x + cols["cb"] * s_y
+        dmean_y = cols["cb"] * s_x + cols["cc"] * s_y
+        dca = -0.5 * s_xx
+        dcb = -s_xy
+        dcc = -0.5 * s_yy
+        # d(alpha)/d(op) = exp(power) wherever alpha is not clamped — `active`
+        # already zeroed dalpha at the alpha_max clamp and the cutoff, so the
+        # per-pair divide alpha/op reduces to the exp already computed
+        dop = jnp.sum(dalpha * terms["ex"], 1, keepdims=True)
 
         # feature grads: (K, 7) = wgt (K,P) @ g_feat^T (P,7)
         dfeat = jax.lax.dot_general(
@@ -289,25 +302,23 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (K, 7)
 
-        # depth-plane grads
+        # depth-plane grads (inv_denom / t_raw / clamp masks shared with the
+        # alpha-depth evaluation above — one divide per pair, not three)
         wgd = wgt * g_depth
-        denom = cols["pa"] * px + cols["pb"] * py + cols["pc"]
-        ok = jnp.abs(denom) > 1e-8
-        denom_safe = jnp.where(ok, denom, 1.0)
-        t_raw = cols["pd"] / denom_safe
-        lo = cfg.depth_lo * cols["dz"]
-        hi = cfg.depth_hi * cols["dz"]
-        inside = ok & (t_raw > lo) & (t_raw < hi)
-        com = jnp.where(inside, wgd / denom_safe, 0.0)
+        t_raw = terms["t_raw"]
+        ok = terms["ok"]
+        inside = ok & ~terms["lo_clamped"] & ~terms["hi_clamped"]
+        com = jnp.where(inside, wgd * terms["inv_denom"], 0.0)
+        u = com * t_raw  # shared by dpa/dpb/dpc
         dpd = jnp.sum(com, 1, keepdims=True)
-        dpa = jnp.sum(-com * t_raw * px, 1, keepdims=True)
-        dpb = jnp.sum(-com * t_raw * py, 1, keepdims=True)
-        dpc = jnp.sum(-com * t_raw, 1, keepdims=True)
+        dpa = -jnp.sum(u * px, 1, keepdims=True)
+        dpb = -jnp.sum(u * py, 1, keepdims=True)
+        dpc = -jnp.sum(u, 1, keepdims=True)
         ddz = jnp.sum(
             wgd
             * (
-                jnp.where(ok & (t_raw <= lo), cfg.depth_lo, 0.0)
-                + jnp.where(ok & (t_raw >= hi), cfg.depth_hi, 0.0)
+                jnp.where(terms["lo_clamped"], cfg.depth_lo, 0.0)
+                + jnp.where(terms["hi_clamped"], cfg.depth_hi, 0.0)
                 + jnp.where(~ok, 1.0, 0.0)
             ),
             1,

@@ -134,6 +134,13 @@ def preprocess(
     mid = 0.5 * (cov_a + cov_c)
     eig_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = jnp.ceil(cfg.sigma_extent * jnp.sqrt(eig_max))
+    # tight per-axis extents: the AABB of the sigma_extent-level ellipse is
+    # exactly +-s*sqrt(cov_a) x +-s*sqrt(cov_c) (marginal sigmas). The
+    # circumscribed square of `radius` (3DGS convention) covers the same
+    # ellipse but wastes tiles on elongated surfels (projected disks seen at
+    # grazing angles); binning uses these instead (rows P_EXT_X/P_EXT_Y).
+    ext_x = jnp.ceil(cfg.sigma_extent * jnp.sqrt(jnp.maximum(cov_a, 0.0)))
+    ext_y = jnp.ceil(cfg.sigma_extent * jnp.sqrt(jnp.maximum(cov_c, 0.0)))
 
     # --- surfel plane for per-pixel depth ---
     # world normal = third column of R (gaussian_map.py:567-571); the
@@ -187,6 +194,8 @@ def preprocess(
         pd,
         attrs.confidences,
         pz,
+        jax.lax.stop_gradient(ext_x),
+        jax.lax.stop_gradient(ext_y),
     ]
     rows += [zero] * (PARAM_DIM - len(rows))
     params2d = jnp.stack(rows, axis=1).astype(jnp.float32)  # (N, PARAM_DIM)
@@ -223,6 +232,47 @@ def eval_alpha_depth_cols(
     t = jnp.where(ok, cols["pd"] / denom_safe, cols["dz"])
     t = jnp.clip(t, cfg.depth_lo * cols["dz"], cfg.depth_hi * cols["dz"])
     return alpha, t
+
+
+def eval_pair_terms_bwd(
+    cols: dict, px: jnp.ndarray, py: jnp.ndarray, cfg: RasterConfig
+):
+    """Alpha/depth evaluation for the hand-written backward kernel.
+
+    Same math as `eval_alpha_depth_cols` but returns the shared
+    intermediates the gradient chains need (dx, dy, exp(power), 1/denom,
+    raw plane depth, clamp masks), so the kernel computes each per-pair
+    divide/exponential exactly once instead of re-deriving them."""
+    dx = px - cols["mean_x"]
+    dy = py - cols["mean_y"]
+    power = (
+        -0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy) - cols["cb"] * dx * dy
+    )
+    ex = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = cols["op"] * ex
+    alpha = jnp.minimum(alpha, cfg.alpha_max)
+    alpha = jnp.where(alpha >= cfg.alpha_cut, alpha, 0.0)
+
+    denom = cols["pa"] * px + cols["pb"] * py + cols["pc"]
+    ok = jnp.abs(denom) > 1e-8
+    inv_denom = 1.0 / jnp.where(ok, denom, 1.0)
+    t_raw = cols["pd"] * inv_denom
+    lo = cfg.depth_lo * cols["dz"]
+    hi = cfg.depth_hi * cols["dz"]
+    t = jnp.where(ok, jnp.clip(t_raw, lo, hi), cols["dz"])
+    inside = ok & (t_raw > lo) & (t_raw < hi)
+    return {
+        "alpha": alpha,
+        "t": t,
+        "dx": dx,
+        "dy": dy,
+        "ex": ex,
+        "inv_denom": inv_denom,
+        "t_raw": t_raw,
+        "ok": ok,
+        "lo_clamped": ok & (t_raw <= lo),
+        "hi_clamped": ok & (t_raw >= hi),
+    }
 
 
 def entry_cols(entries_t: jnp.ndarray) -> dict:

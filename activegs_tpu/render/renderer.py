@@ -19,7 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import binning, composite_pallas as cp, preprocess as pp
-from .types import Camera, GaussianAttrs, RasterConfig, RenderOutput
+from .types import (
+    P_EXT_X,
+    P_EXT_Y,
+    Camera,
+    GaussianAttrs,
+    RasterConfig,
+    RenderOutput,
+)
 
 
 def _tile_grid(image_shape, cfg: RasterConfig):
@@ -73,7 +80,8 @@ def prepare_view_bins(
     return binning.bin_entries(
         sg(params2d[:, 0]),
         sg(params2d[:, 1]),
-        sg(radius),
+        sg(params2d[:, P_EXT_X]),
+        sg(params2d[:, P_EXT_Y]),
         sg(depth_z),
         in_view,
         image_shape,
@@ -129,7 +137,8 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
         b = binning.bin_entries(
             sg(params2d[:, 0]),
             sg(params2d[:, 1]),
-            sg(radius),
+            sg(params2d[:, P_EXT_X]),
+            sg(params2d[:, P_EXT_Y]),
             sg(depth_z),
             in_view,
             image_shape,

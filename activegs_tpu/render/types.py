@@ -43,6 +43,8 @@ P_PLANE_C = 14
 P_PLANE_D = 15
 P_CONF = 16
 P_DEPTH_Z = 17  # camera-space center depth (sort key + fallback depth)
+P_EXT_X = 18  # per-axis screen extents (AABB of the sigma_extent ellipse);
+P_EXT_Y = 19  # binning-only rows, stop-gradiented and ignored by kernels
 PARAM_DIM = 24  # padded to a sublane multiple
 
 # ---- output channel layout of the compositor (rows of (OUT_DIM, T, P)) ----
@@ -95,11 +97,13 @@ class GaussianAttrs:
 class RasterConfig:
     """Static rasterizer configuration (hashable; becomes a jit constant)."""
 
-    # 16x32 tiles bench ~7% faster (small-surfel scenes) but REAL missions
-    # spawn large early surfels whose spans then exceed max_dup and truncate
-    # 3x more entries (mission telemetry: dropped 86k -> 259k/keyframe, loss
-    # 0.140 -> 0.174) — 32x32 is the quality-safe default
-    tile_h: int = 32
+    # 16x32 tiles bench ~7% faster than 32x32. Earlier this truncated REAL
+    # missions (large early surfels exceeding max_dup: dropped 86k -> 259k
+    # per keyframe at r2 head), but the per-axis AABB spans (P_EXT_X/Y,
+    # exact bbox of the sigma_extent ellipse instead of the circumscribed
+    # 3DGS circle-square) shrink elongated-surfel spans enough to make it
+    # the default; re-check mission `dropped` telemetry when changing.
+    tile_h: int = 16
     tile_w: int = 32
     chunk: int = 128  # entries per compositing chunk (K)
     max_dup: int = 4  # tiles covered per gaussian (dense expansion grid)

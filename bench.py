@@ -136,36 +136,23 @@ def run_scaling(res=128, n_gauss=4096, steps=2):
     return results
 
 
-def main():
-    from activegs_tpu import runtime
+def build_scene(res, n_gauss, cfg):
+    """Synthetic but realistic bench scene: camera-facing surfels filling a
+    6x5x3 room shell + an 8-keyframe ring looking at the walls. Returns
+    (state, buf). Shared by bench main() and perf-scan scripts."""
+    import dataclasses
 
-    runtime.setup_cache()
-
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from activegs_tpu.core import geometry as geo
     from activegs_tpu.core import quaternions as quat
     from activegs_tpu.mapping import gaussians as gm
     from activegs_tpu.mapping import keyframes as kf
-    from activegs_tpu.mapping import trainer
-    from activegs_tpu.render.types import RasterConfig
+    from activegs_tpu.planning.paths import rotation_from_z
 
-    res = int(os.environ.get("BENCH_RES", 512))
-    n_gauss = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
-    batch = 8
-
-    cfg = gm.MapConfig(capacity=1 << 19, batch_size=batch, optimization_steps=steps)
-    raster_cfg = RasterConfig()
-
-    # synthetic but realistic map: camera-facing surfels filling a room shell
     rng = np.random.default_rng(0)
-    import dataclasses
-
     state = gm.init_state(cfg)
-    # points on the walls of a 6x5x3 room as seen from its center
-    u = rng.uniform(0, 1, n_gauss)
     pts = np.zeros((n_gauss, 3), np.float32)
     face = rng.integers(0, 5, n_gauss)
     r2 = rng.uniform(0, 1, (n_gauss, 2))
@@ -201,10 +188,6 @@ def main():
         count=jnp.int32(n_gauss),
     )
 
-    # keyframes looking at the walls from the room center
-    from activegs_tpu.core import geometry as geo
-    from activegs_tpu.planning.paths import rotation_from_z
-
     buf = kf.init_buffer(8, res, res)
     intr = geo.intrinsics_from_fov(60.0, 60.0)
     center = dims / 2
@@ -224,6 +207,33 @@ def main():
             "depth_range": jnp.asarray([0.0, 5.0]),
         }
         buf = kf.add_frame(buf, frame)
+    return state, buf
+
+
+def main():
+    from activegs_tpu import runtime
+
+    runtime.setup_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from activegs_tpu.mapping import gaussians as gm
+    from activegs_tpu.mapping import trainer
+    from activegs_tpu.render.types import RasterConfig
+
+    res = int(os.environ.get("BENCH_RES", 512))
+    n_gauss = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    batch = 8
+
+    cfg = gm.MapConfig(capacity=1 << 19, batch_size=batch, optimization_steps=steps)
+    raster_cfg = RasterConfig()
+
+    import dataclasses
+
+    state, buf = build_scene(res, n_gauss, cfg)
 
     # match the mission loop: heavy programs run on the live-count bucket,
     # and each view trains its compacted in-view subset (mapper.step parity)

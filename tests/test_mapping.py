@@ -146,6 +146,32 @@ class TestTraining:
         assert p1 > p0 + 1.5, (p0, p1)
         assert np.isfinite(float(loss))
 
+    def test_tv_loss_matches_stacked_form(self):
+        """The fused-per-axis normal_tv_loss must equal the naive stacked
+        formulation (depth_mask * exp(-cd/2s^2) * cd * mask, cd =
+        central_diff_sq) it replaced for performance."""
+        from activegs_tpu.core.image_ops import central_diff_sq
+        from activegs_tpu.mapping import losses
+
+        rng = np.random.default_rng(0)
+        normals = jnp.asarray(rng.normal(size=(2, 3, 9, 11)).astype(np.float32))
+        depths = jnp.asarray(
+            rng.uniform(1, 2, (2, 1, 9, 11)).astype(np.float32)
+        )
+        # make some regions flat so the depth gate passes there
+        depths = depths.at[:, :, 2:5, 3:8].set(1.5)
+        mask = jnp.asarray(rng.uniform(0, 1, (2, 1, 9, 11)) > 0.3).astype(
+            jnp.float32
+        )
+        sigma = 0.3
+        nd = central_diff_sq(normals)
+        dd = central_diff_sq(depths)
+        ref = jnp.mean(
+            (dd <= 1e-4) * jnp.exp(-nd / (2 * sigma**2)) * nd * mask
+        )
+        got = losses.normal_tv_loss(normals, depths, mask, sigma)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
     def test_post_process_confidence_and_prune(self, frames):
         state = gm.init_state(MAPCFG)
         buf = kf.init_buffer(8, RES, RES)

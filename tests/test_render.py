@@ -87,18 +87,28 @@ class TestBinning:
         attrs = make_attrs(48, seed=3)
         from activegs_tpu.render import preprocess as pp
 
+        from activegs_tpu.render.types import P_EXT_X, P_EXT_Y
+
         params2d, radius, depth_z, in_view = pp.preprocess(
             attrs, make_camera(), (h, w), cfg
         )
         b = binning.bin_entries(
-            params2d[:, 0], params2d[:, 1], radius, depth_z, in_view, (h, w), cfg
+            params2d[:, 0],
+            params2d[:, 1],
+            params2d[:, P_EXT_X],
+            params2d[:, P_EXT_Y],
+            depth_z,
+            in_view,
+            (h, w),
+            cfg,
         )
         assert int(b.num_dropped) == 0
         gid = np.asarray(b.gid)
         starts = np.asarray(b.tile_start)
         lens = np.asarray(b.tile_len)
         mx, my = np.asarray(params2d[:, 0]), np.asarray(params2d[:, 1])
-        rad = np.asarray(radius)
+        rx = np.asarray(params2d[:, P_EXT_X])
+        ry = np.asarray(params2d[:, P_EXT_Y])
         z = np.asarray(depth_z)
         iv = np.asarray(in_view)
         ntx = -(-w // cfg.tile_w)
@@ -107,17 +117,17 @@ class TestBinning:
             assert np.all(seg >= 0)
             # depth sorted within tile
             assert np.all(np.diff(z[seg]) >= 0)
-            # brute force: which gaussians' bbox overlaps tile t
+            # brute force: which gaussians' per-axis AABB overlaps tile t
             tx, ty = t % ntx, t // ntx
             x0, x1 = tx * cfg.tile_w, (tx + 1) * cfg.tile_w
             y0, y1 = ty * cfg.tile_h, (ty + 1) * cfg.tile_h
             want = set(
                 np.nonzero(
                     iv
-                    & (mx + rad >= x0)
-                    & (mx - rad < x1)
-                    & (my + rad >= y0)
-                    & (my - rad < y1)
+                    & (mx + rx >= x0)
+                    & (mx - rx < x1)
+                    & (my + ry >= y0)
+                    & (my - ry < y1)
                 )[0].tolist()
             )
             assert set(seg.tolist()) == want
@@ -127,12 +137,21 @@ class TestBinning:
         attrs = make_attrs(32, seed=5)
         from activegs_tpu.render import preprocess as pp
 
+        from activegs_tpu.render.types import P_EXT_X, P_EXT_Y
+
         cfg = CFG_SMALL_CHUNK
         params2d, radius, depth_z, in_view = pp.preprocess(
             attrs, make_camera(), (h, w), cfg
         )
         b = binning.bin_entries(
-            params2d[:, 0], params2d[:, 1], radius, depth_z, in_view, (h, w), cfg
+            params2d[:, 0],
+            params2d[:, 1],
+            params2d[:, P_EXT_X],
+            params2d[:, P_EXT_Y],
+            depth_z,
+            in_view,
+            (h, w),
+            cfg,
         )
         assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
 
