@@ -172,37 +172,45 @@ PACK_DIM = 16  # means3 scales3 rot4 opac1 col3 conf1 valid1 = 16
 
 
 def pack_attrs(attrs: GaussianAttrs) -> jnp.ndarray:
-    """(N, 16) row-major packing so a per-view subset is ONE row gather."""
-    cols = [
-        attrs.means,
-        attrs.scales,
-        attrs.rotations,
-        attrs.opacities[:, None],
-        attrs.colors,
-        attrs.confidences[:, None],
-        attrs.valid.astype(jnp.float32)[:, None],
+    """(16, N) COLUMN-major packing: the N axis sits in the lane dimension,
+    so every elementwise op on the packed array (most importantly the
+    per-view cotangent accumulation in the train loop's VJP) runs unpadded.
+    The row-major (N, 16) variant forced XLA into a {1,0:T(8,128)} layout
+    that pads 16 -> 128 lanes — the (N, 16) grad add alone cost 0.59 ms/view
+    (8x the bytes) in the round-2 profile."""
+    rows = [
+        attrs.means.T,
+        attrs.scales.T,
+        attrs.rotations.T,
+        attrs.opacities[None, :],
+        attrs.colors.T,
+        attrs.confidences[None, :],
+        attrs.valid.astype(jnp.float32)[None, :],
     ]
-    return jnp.concatenate(cols, axis=1)
+    return jnp.concatenate(rows, axis=0)
 
 
 def unpack_attrs(packed: jnp.ndarray) -> GaussianAttrs:
+    """(16, B) packed columns -> GaussianAttrs. The (B, k) transposes are
+    layout-only: every consumer (preprocess) immediately re-slices single
+    components, which XLA collapses back to row slices of `packed`."""
     return GaussianAttrs(
-        means=packed[:, 0:3],
-        scales=packed[:, 3:6],
-        rotations=packed[:, 6:10],
-        opacities=packed[:, 10],
-        colors=packed[:, 11:14],
-        confidences=packed[:, 14],
-        valid=packed[:, 15] > 0.5,
+        means=packed[0:3].T,
+        scales=packed[3:6].T,
+        rotations=packed[6:10].T,
+        opacities=packed[10],
+        colors=packed[11:14].T,
+        confidences=packed[14],
+        valid=packed[15] > 0.5,
     )
 
 
 @jax.custom_vjp
 def subset_packed(packed, sel_clip, sel_valid, inv_sel):
-    """Row-gather packed attrs to a compact bucket; the VJP maps cotangents
-    back with the precomputed inverse positions (a gather, never a
-    scatter-add — XLA TPU scatter sorts its indices)."""
-    return jnp.where(sel_valid[:, None], packed[sel_clip, :], 0.0)
+    """Lane-gather packed attrs (16, N) to a compact (16, B) bucket; the VJP
+    maps cotangents back with the precomputed inverse positions (a gather,
+    never a scatter-add — XLA TPU scatter sorts its indices)."""
+    return jnp.where(sel_valid[None, :], packed[:, sel_clip], 0.0)
 
 
 def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
@@ -215,7 +223,7 @@ def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
 
 def _subset_packed_bwd(res, g):
     sel_clip, sel_valid, inv_sel = res
-    d = jnp.where((inv_sel >= 0)[:, None], g[jnp.clip(inv_sel, 0), :], 0.0)
+    d = jnp.where((inv_sel >= 0)[None, :], g[:, jnp.clip(inv_sel, 0)], 0.0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(sel_clip), f0(sel_valid), f0(inv_sel)
 
