@@ -81,7 +81,30 @@ def batch_loss(
     v, _, h, w = rgb_gt.shape
     state = _with_params(state, params)
     attrs = gm.attrs_of(state, cfg)
-    if subsets is not None:
+    if subsets is not None and len(subsets) == 4:
+        # batched subset: ONE gather for all views' compact buckets, and the
+        # VJP combines all views' cotangents with the per-keyframe sort plan
+        # (V*B + N gather indices per step instead of V*N — see
+        # renderer.subset_packed_batch)
+        from ..render.renderer import pack_attrs, render_view, subset_packed_batch, unpack_attrs
+
+        sels, selvs, _invs, plan = subsets
+        stacked = subset_packed_batch(pack_attrs(attrs), sels, selvs, plan)
+
+        def one(args):
+            ext, intr, b, rows = args
+            o, _aux = render_view(
+                unpack_attrs(rows),
+                Camera(extrinsic=ext, intrinsic=intr),
+                (h, w),
+                raster_cfg,
+                background=jnp.asarray(cfg.background),
+                bin_result=b,
+            )
+            return o
+
+        out = jax.lax.map(one, (extrinsics, intrinsics, bins, stacked))
+    elif subsets is not None:
         from ..render.renderer import pack_attrs, render_view, subset_view
 
         packed = pack_attrs(attrs)
@@ -255,7 +278,15 @@ def train_keyframe(
                     check_vma=False,
                 )
             sels, selvs, invs, bins = prep_views(batch[2], batch[3])
-            subsets = (sels, selvs, invs)
+            if mesh is None:
+                from ..render.renderer import build_combine_plan
+
+                plan = build_combine_plan(sels, selvs, invs, attrs0.num)
+                subsets = (sels, selvs, invs, plan)
+            else:
+                # the sharded path keeps per-view expansion: each device owns
+                # its local views and grads psum over the mesh
+                subsets = (sels, selvs, invs)
         else:
             subsets = None
             if mesh is not None:

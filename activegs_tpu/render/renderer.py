@@ -172,45 +172,39 @@ PACK_DIM = 16  # means3 scales3 rot4 opac1 col3 conf1 valid1 = 16
 
 
 def pack_attrs(attrs: GaussianAttrs) -> jnp.ndarray:
-    """(16, N) COLUMN-major packing: the N axis sits in the lane dimension,
-    so every elementwise op on the packed array (most importantly the
-    per-view cotangent accumulation in the train loop's VJP) runs unpadded.
-    The row-major (N, 16) variant forced XLA into a {1,0:T(8,128)} layout
-    that pads 16 -> 128 lanes — the (N, 16) grad add alone cost 0.59 ms/view
-    (8x the bytes) in the round-2 profile."""
-    rows = [
-        attrs.means.T,
-        attrs.scales.T,
-        attrs.rotations.T,
-        attrs.opacities[None, :],
-        attrs.colors.T,
-        attrs.confidences[None, :],
-        attrs.valid.astype(jnp.float32)[None, :],
+    """(N, 16) row-major packing so a per-view subset is ONE row gather
+    (XLA TPU gathers cost per index; row vs column layout is second-order,
+    but row packing means the batched subset/VJP below never transposes)."""
+    cols = [
+        attrs.means,
+        attrs.scales,
+        attrs.rotations,
+        attrs.opacities[:, None],
+        attrs.colors,
+        attrs.confidences[:, None],
+        attrs.valid.astype(jnp.float32)[:, None],
     ]
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(cols, axis=1)
 
 
 def unpack_attrs(packed: jnp.ndarray) -> GaussianAttrs:
-    """(16, B) packed columns -> GaussianAttrs. The (B, k) transposes are
-    layout-only: every consumer (preprocess) immediately re-slices single
-    components, which XLA collapses back to row slices of `packed`."""
     return GaussianAttrs(
-        means=packed[0:3].T,
-        scales=packed[3:6].T,
-        rotations=packed[6:10].T,
-        opacities=packed[10],
-        colors=packed[11:14].T,
-        confidences=packed[14],
-        valid=packed[15] > 0.5,
+        means=packed[:, 0:3],
+        scales=packed[:, 3:6],
+        rotations=packed[:, 6:10],
+        opacities=packed[:, 10],
+        colors=packed[:, 11:14],
+        confidences=packed[:, 14],
+        valid=packed[:, 15] > 0.5,
     )
 
 
 @jax.custom_vjp
 def subset_packed(packed, sel_clip, sel_valid, inv_sel):
-    """Lane-gather packed attrs (16, N) to a compact (16, B) bucket; the VJP
-    maps cotangents back with the precomputed inverse positions (a gather,
-    never a scatter-add — XLA TPU scatter sorts its indices)."""
-    return jnp.where(sel_valid[None, :], packed[:, sel_clip], 0.0)
+    """Row-gather packed attrs to a compact bucket; the VJP maps cotangents
+    back with the precomputed inverse positions (a gather, never a
+    scatter-add — XLA TPU scatter sorts its indices)."""
+    return jnp.where(sel_valid[:, None], packed[sel_clip, :], 0.0)
 
 
 def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
@@ -223,12 +217,99 @@ def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
 
 def _subset_packed_bwd(res, g):
     sel_clip, sel_valid, inv_sel = res
-    d = jnp.where((inv_sel >= 0)[None, :], g[:, jnp.clip(inv_sel, 0)], 0.0)
+    d = jnp.where((inv_sel >= 0)[:, None], g[jnp.clip(inv_sel, 0), :], 0.0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(sel_clip), f0(sel_valid), f0(inv_sel)
 
 
 subset_packed.defvjp(_subset_packed_fwd, _subset_packed_bwd)
+
+
+# --------------------------------------------------------------------------
+# batched multi-view subset with a sort-based gradient combine
+# --------------------------------------------------------------------------
+#
+# The per-view subset VJP expands each view's compact cotangent back to the
+# full N with an N-index gather — V views cost V*N gather indices per train
+# step even though only ~V*B slots carry gradient. The batched form gathers
+# every view's subset in ONE call and, on the way back, combines all views'
+# compact cotangents with a per-keyframe sort plan: references sorted by
+# gaussian id, a 3-pass masked segment-suffix sum (a gaussian appears at
+# most once per view, so run length <= V), and one head-of-run gather. Total
+# per-step index traffic: V*B (sort perm) + N (head), instead of V*N.
+
+
+def build_combine_plan(sels, selvs, invs, n: int):
+    """Per-keyframe plan for `subset_packed_batch`'s VJP. sels/selvs (V, B),
+    invs (V, N) from per-view `compact_in_view`. Built entirely from sorts
+    and gathers (no scatter). Returns (perm, masks, head):
+      perm  (V*B,) — flat reference order sorted (stably) by gaussian id,
+      masks tuple of (V*B,) bools — same-run neighbor at distance 1, 2, 4...,
+      head  (N,) — sorted position of each gaussian's first reference, -1
+            when the gaussian is in no view's subset."""
+    v, b = sels.shape
+    vb = v * b
+    ids = jnp.where(selvs.reshape(-1), sels.reshape(-1), n).astype(jnp.int32)
+    iota = jnp.arange(vb, dtype=jnp.int32)
+    sorted_ids, perm = jax.lax.sort((ids, iota), num_keys=1, is_stable=True)
+    _, pos = jax.lax.sort((perm, iota), num_keys=1)
+    masks = []
+    k = 1
+    while k < max(v, 2):
+        same = jnp.concatenate(
+            [
+                (sorted_ids[k:] == sorted_ids[:-k]) & (sorted_ids[:-k] < n),
+                jnp.zeros((k,), bool),
+            ]
+        )
+        masks.append(same)
+        k *= 2
+    # first reference of gaussian g in flat order = min over views of the
+    # flat slot index; stable sort keeps it first within its run
+    varange = jnp.arange(v, dtype=jnp.int32)[:, None]
+    flatpos = jnp.where(invs >= 0, varange * b + invs, vb)
+    first_flat = jnp.min(flatpos, axis=0)  # (N,)
+    head = jnp.where(
+        first_flat < vb, pos[jnp.clip(first_flat, 0, vb - 1)], -1
+    ).astype(jnp.int32)
+    return perm, tuple(masks), head
+
+
+@jax.custom_vjp
+def subset_packed_batch(packed, sels, selvs, plan):
+    """Gather every view's compact attr bucket in one call: (N, 16) ->
+    (V, B, 16). The VJP combines all views' cotangents back to (N, 16) with
+    the precomputed sort plan (see build_combine_plan)."""
+    v, b = sels.shape
+    rows = jnp.where(
+        selvs.reshape(-1)[:, None], packed[jnp.clip(sels.reshape(-1), 0), :], 0.0
+    )
+    return rows.reshape(v, b, packed.shape[1])
+
+
+def _spb_fwd(packed, sels, selvs, plan):
+    return subset_packed_batch(packed, sels, selvs, plan), (sels, selvs, plan)
+
+
+def _spb_bwd(res, g):
+    sels, selvs, plan = res
+    perm, masks, head = plan
+    v, b = sels.shape
+    flat = g.reshape(v * b, g.shape[-1])
+    s = flat[perm, :]
+    jump = 1
+    for m in masks:
+        sh = jnp.concatenate(
+            [s[jump:], jnp.zeros((jump, s.shape[1]), s.dtype)], axis=0
+        )
+        s = s + jnp.where(m[:, None], sh, 0.0)
+        jump *= 2
+    d = jnp.where((head >= 0)[:, None], s[jnp.clip(head, 0), :], 0.0)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d, f0(sels), f0(selvs), jax.tree.map(f0, plan)
+
+
+subset_packed_batch.defvjp(_spb_fwd, _spb_bwd)
 
 
 def compact_in_view(in_view: jnp.ndarray, bucket: int):

@@ -1,0 +1,166 @@
+"""Component-level timing of the render backward at the exact bench shapes:
+composite kernel fwd / fwd+bwd on the real subset entry streams, the
+subset_packed VJP expansion, and the entry-gather VJP. Timing per CLAUDE.md.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from activegs_tpu import runtime
+
+runtime.setup_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench as B
+from activegs_tpu.mapping import gaussians as gm
+from activegs_tpu.mapping import keyframes as kf
+from activegs_tpu.mapping import trainer
+from activegs_tpu.render import composite_pallas as cp
+from activegs_tpu.render import preprocess as rp
+from activegs_tpu.render.renderer import (
+    _gather_entries_inv,
+    _tile_grid,
+    compact_in_view,
+    pack_attrs,
+    prepare_view_bins,
+    subset_packed,
+    subset_view,
+)
+from activegs_tpu.render.types import Camera, RasterConfig
+
+ITERS = 20
+DISPATCH_MS = 31.0
+
+
+def timed(fn, *args):
+    fn(*args)
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    return max(best - DISPATCH_MS, 0.0) / ITERS
+
+
+def loop(fn, n=ITERS):
+    @jax.jit
+    def run(*args):
+        def body(i, acc):
+            out = fn(acc * 1e-20, *args)
+            return acc + jax.tree.leaves(out)[0].ravel()[0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return run
+
+
+def main():
+    res = 512
+    cfg = gm.MapConfig(capacity=1 << 19, batch_size=8, optimization_steps=10)
+    rcfg = RasterConfig()
+    state, buf = B.build_scene(res, 200_000, cfg)
+    cap_b = gm.bucket_capacity(200_000, cfg.capacity)
+    state = gm.slice_state(state, cap_b)
+    key = jax.random.PRNGKey(0)
+    sb = trainer.pick_subset_bucket(
+        int(trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)), cap_b
+    )
+    key, k1 = jax.random.split(key)
+    ids = kf.sample_weighted(buf, k1, cfg.batch_size, cfg.active_size)
+    batch = jax.tree.map(jnp.asarray, kf.decode_frames(buf, ids))
+    h, w = batch[0].shape[-2:]
+    attrs0 = gm.attrs_of(state, cfg)
+    packed0 = pack_attrs(attrs0)
+    cam0 = Camera(extrinsic=batch[2][0], intrinsic=batch[3][0])
+
+    @jax.jit
+    def prep_one():
+        _, _, _, iv = rp.preprocess(attrs0, cam0, (h, w), rcfg)
+        sel, selv, inv, _ = compact_in_view(iv, sb)
+        attrs_v = subset_view(packed0, (sel, selv, inv))
+        bins_v = prepare_view_bins(attrs_v, cam0, (h, w), rcfg)
+        p2d, _, _, iv_v = rp.preprocess(attrs_v, cam0, (h, w), rcfg)
+        return sel, selv, inv, bins_v, p2d
+
+    sel, selv, inv, bv, p2d = jax.tree.map(jnp.asarray, prep_one())
+    print(f"bucket={sb} E={bv.gid.shape[0]} real_entries={int((bv.gid>=0).sum())}")
+    ntx, nty = _tile_grid((h, w), rcfg)
+    static = (ntx * nty, ntx, rcfg)
+    gidc = jnp.clip(bv.gid, 0)
+    emask = (bv.gid >= 0)[:, None]
+
+    # 1. composite kernel fwd
+    entries0 = jnp.asarray(
+        jax.jit(lambda: _gather_entries_inv(p2d, gidc, emask, bv.inv_pos))()
+    )
+    f = loop(lambda e, ent, ts, tl: cp.composite_tiled(ent + e, ts, tl, static))
+    t = timed(f, entries0, bv.tile_start, bv.tile_len)
+    print(f"kernel fwd:        {t:6.3f} ms/view")
+
+    # 2. composite kernel fwd+bwd
+    def vg(e, ent, ts, tl):
+        g = jax.grad(
+            lambda x: jnp.sum(cp.composite_tiled(x, ts, tl, static)[:, :9, :])
+            * 1e-6
+        )(ent + e)
+        return g
+
+    t = timed(loop(vg), entries0, bv.tile_start, bv.tile_len)
+    print(f"kernel fwd+bwd:    {t:6.3f} ms/view")
+
+    # 3. entry gather fwd / fwd+bwd (p2d (B, 24) -> (24, E))
+    t = timed(
+        loop(lambda e, p: _gather_entries_inv(p + e, gidc, emask, bv.inv_pos)), p2d
+    )
+    print(f"entry gather fwd:  {t:6.3f} ms/view")
+
+    def gvg(e, p):
+        # x*x readout: the cotangent depends on the input, so the VJP gather
+        # cannot be constant-folded out of the timing loop
+        return jax.grad(
+            lambda x: jnp.sum(
+                jnp.square(_gather_entries_inv(x, gidc, emask, bv.inv_pos))
+            )
+            * 1e-6
+        )(p + e)
+
+    t = timed(loop(gvg), p2d)
+    print(f"entry gather f+b:  {t:6.3f} ms/view")
+
+    # 4. subset_packed fwd / fwd+bwd ((16, N) -> (16, B))
+    t = timed(loop(lambda e, p: subset_packed(p + e, sel, selv, inv)), packed0)
+    print(f"subset fwd:        {t:6.3f} ms/view")
+
+    def svg(e, p):
+        return jax.grad(
+            lambda x: jnp.sum(jnp.square(subset_packed(x, sel, selv, inv))) * 1e-6
+        )(p + e)
+
+    t = timed(loop(svg), packed0)
+    print(f"subset f+b:        {t:6.3f} ms/view")
+
+    # 5. preprocess (subset bucket) fwd / fwd+bwd
+    def pre(e, p):
+        a = subset_view(p + e, (sel, selv, inv))
+        p2, _, _, _ = rp.preprocess(a, cam0, (h, w), rcfg)
+        return p2
+
+    t = timed(loop(pre), packed0)
+    print(f"subset+preproc fwd:{t:6.3f} ms/view")
+
+    def prevg(e, p):
+        return jax.grad(lambda x: jnp.sum(jnp.square(pre(0.0, x))) * 1e-6)(p + e)
+
+    t = timed(loop(prevg), packed0)
+    print(f"subset+preproc f+b:{t:6.3f} ms/view")
+
+
+if __name__ == "__main__":
+    main()
