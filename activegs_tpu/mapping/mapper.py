@@ -122,27 +122,43 @@ class IncrementalMapper:
         frame, path = self.get_new_dataframe()
 
         t0 = time.time()
+        phase_t = {}
+
+        def _mark(name):
+            # phases fence by pulling a SCALAR the phase's jitted program
+            # already returns (int()/float() below) — block_until_ready does
+            # not actually block under the axon tunnel, a full np.asarray
+            # ships megabytes through it, and introducing a new jitted
+            # fence program costs a remote compile per shape
+            phase_t[name] = time.time() - t0 - sum(phase_t.values())
+
         # gaussian map update (`GaussianMap.update`, `gaussian_map.py:62-64`)
         self.gm_state, n_new = gm.spawn(
             self.gm_state, frame, self.map_cfg, self.raster_cfg
         )
+        n_new = int(n_new)
         self.keyframes = kfb.add_frame(self.keyframes, frame)
         self.key, sub = jax.random.split(self.key)
+        _mark("spawn")
 
         # run the heavy jitted programs on the smallest capacity bucket that
         # holds the live count — compute scales with capacity, not count
         cap_b = gm.bucket_capacity(int(self.gm_state.count), self.map_cfg.capacity)
         sub_state = gm.slice_state(self.gm_state, cap_b)
 
-        # per-view in-view compaction: pick the static subset bucket from the
-        # batch this keyframe will sample (same key -> same batch), so every
-        # per-index cost in the train step scales with what the views SEE
-        max_in_view = int(
-            trainer.keyframe_view_stats(
+        # per-view in-view compaction + entry budget: pick the static subset
+        # bucket and entry budget from the batch this keyframe will sample
+        # (same key -> same batch), so every per-index cost in the train step
+        # scales with what the views SEE/BIN instead of the capacity
+        max_in_view, max_entries = (
+            int(x)
+            for x in trainer.keyframe_view_stats(
                 sub_state, self.keyframes, sub, self.map_cfg, self.raster_cfg
             )
         )
         subset_bucket = trainer.pick_subset_bucket(max_in_view, cap_b)
+        entry_budget = trainer.pick_entry_bucket(max_entries)
+        _mark("view_stats")
         sub_state, self.keyframes, loss, train_aux = trainer.train_keyframe(
             sub_state,
             self.keyframes,
@@ -151,7 +167,10 @@ class IncrementalMapper:
             self.raster_cfg,
             mesh=self.mesh,
             subset_bucket=subset_bucket,
+            entry_budget=entry_budget,
         )
+        loss = float(loss)
+        _mark("train")
         n_frames = int(self.keyframes.count)
         require_prune = n_frames % self.map_cfg.prune_interval == 0
         sub_state, n_pruned = trainer.post_process(
@@ -162,10 +181,13 @@ class IncrementalMapper:
             self.raster_cfg,
             require_prune=require_prune,
         )
+        n_pruned = int(n_pruned)
+        _mark("post")
         self.gm_state = gm.write_back(self.gm_state, sub_state)
         # voxel map update
         self.vm_state = vm.update(self.vm_state, self.grid, frame)
         jax.block_until_ready(self.vm_state.log_odds)
+        _mark("voxel")
         t_mapping = time.time() - t0
 
         self.frame_id += 1
@@ -181,6 +203,9 @@ class IncrementalMapper:
             "num_dropped": int(train_aux["num_dropped"]),
             "capacity_bucket": cap_b,
             "bucket_occupancy": float(int(self.gm_state.count) / cap_b),
+            "subset_bucket": subset_bucket,
+            "entry_budget": entry_budget,
+            "phase_times": {k: round(v, 3) for k, v in phase_t.items()},
         }
 
         if self.viewer is not None:
@@ -206,9 +231,11 @@ class IncrementalMapper:
             print(
                 f" step {stats['frame_id']}: loss {stats['loss']:.4f}, "
                 f"{stats['n_gaussians']} gaussians (+{stats['n_new']}/-{stats['n_pruned']}), "
-                f"mapping {stats['t_mapping']:.2f}s, "
+                f"mapping {stats['t_mapping']:.2f}s "
+                f"({' '.join(f'{k}={v:.2f}' for k, v in stats['phase_times'].items())}), "
                 f"dropped {stats['num_dropped']}, "
-                f"bucket {stats['n_gaussians']}/{stats['capacity_bucket']}"
+                f"bucket {stats['n_gaussians']}/{stats['capacity_bucket']}, "
+                f"subset {stats['subset_bucket']}, entries {stats['entry_budget']}"
             )
             if max_steps is not None and self.frame_id >= max_steps:
                 break

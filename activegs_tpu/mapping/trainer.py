@@ -167,10 +167,14 @@ def keyframe_view_stats(
     raster_cfg: RasterConfig,
     sampler: str = "weighted",
 ):
-    """Max per-view in-view gaussian count for the batch that
-    `train_keyframe` will sample with the SAME key (the mapper reads this on
-    the host to pick the static per-view subset bucket)."""
+    """(max in-view gaussian count, max binned entry count) over the batch
+    that `train_keyframe` will sample with the SAME key — the mapper reads
+    these on the host to pick the static per-view subset bucket and the
+    static entry budget, so every per-index cost in the train step scales
+    with what the views actually see/bin."""
+    from ..render import binning as rb
     from ..render import preprocess as rp
+    from ..render.types import P_EXT_X, P_EXT_Y
 
     sample = kf.sample_weighted if sampler == "weighted" else kf.sample_uniform
     key, k1 = jax.random.split(key)
@@ -180,12 +184,18 @@ def keyframe_view_stats(
     attrs0 = gm.attrs_of(state, cfg)
 
     def one(c):
-        _, _, _, iv = rp.preprocess(
+        p2d, _, _, iv = rp.preprocess(
             attrs0, Camera(extrinsic=c[0], intrinsic=c[1]), (h, w), raster_cfg
         )
-        return jnp.sum(iv.astype(jnp.int32))
+        _, _, sw, sh, _ = rb.tile_spans(
+            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
+            (h, w), raster_cfg,
+        )
+        n_entries = jnp.sum(jnp.where(iv, sw * sh, 0))
+        return jnp.sum(iv.astype(jnp.int32)), n_entries
 
-    return jnp.max(jax.lax.map(one, (batch[2], batch[3])))
+    ivs, ents = jax.lax.map(one, (batch[2], batch[3]))
+    return jnp.max(ivs), jnp.max(ents)
 
 
 def pick_subset_bucket(
@@ -199,9 +209,27 @@ def pick_subset_bucket(
     return None if b * 2 > capacity else b
 
 
+def pick_entry_bucket(max_entries: int, min_bucket: int = 16384) -> int:
+    """Power-of-two entry budget covering the measured per-view binned entry
+    count (zero budget drops by construction; bucketing keeps the number of
+    distinct compiled programs logarithmic)."""
+    b = min_bucket
+    while b < max_entries:
+        b *= 2
+    return b
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "raster_cfg", "steps", "sampler", "mesh", "subset_bucket"),
+    static_argnames=(
+        "cfg",
+        "raster_cfg",
+        "steps",
+        "sampler",
+        "mesh",
+        "subset_bucket",
+        "entry_budget",
+    ),
 )
 def train_keyframe(
     state: gm.GaussianMapState,
@@ -213,6 +241,7 @@ def train_keyframe(
     sampler: str = "weighted",
     mesh=None,
     subset_bucket: int | None = None,
+    entry_budget: int | None = None,
 ):
     """Run the per-keyframe optimization (`GaussianMap.train`,
     `gaussian_map.py:66-130`): fresh Adam, `steps` iterations of
@@ -259,7 +288,9 @@ def train_keyframe(
                 _, _, _, iv = rp.preprocess(attrs0, cam, (h, w), raster_cfg)
                 sel, selv, inv, _n = compact_in_view(iv, subset_bucket)
                 attrs_v = subset_view(packed0, (sel, selv, inv))
-                bins_v = prepare_view_bins(attrs_v, cam, (h, w), raster_cfg)
+                bins_v = prepare_view_bins(
+                    attrs_v, cam, (h, w), raster_cfg, entry_budget=entry_budget
+                )
                 return sel, selv, inv, bins_v
 
             def prep_views(exts, intrs):
@@ -302,6 +333,7 @@ def train_keyframe(
                         Camera(extrinsic=c[0], intrinsic=c[1]),
                         (h, w),
                         raster_cfg,
+                        entry_budget=entry_budget,
                     ),
                     (batch[2], batch[3]),
                 )

@@ -41,49 +41,44 @@ class BinResult:
     tile_start: jnp.ndarray  # (T,) int32, K-aligned segment starts
     tile_len: jnp.ndarray  # (T,) int32, real (unpadded) segment lengths
     num_dropped: jnp.ndarray  # () int32, entries lost to span/budget caps
-    # optional (with_inverse=True): entry slot of dense candidate (i, j),
-    # (N, max_dup) int32, -1 = absent — lets the entry gather's VJP be
-    # max_dup gathers instead of a scatter-add (which XLA TPU sorts)
+    # with_inverse=True builds exactly ONE of the two adjoint aids below
+    # (chosen statically by N*max_dup; renderer._prepare_entries dispatches):
+    #
+    # inv_pos (N, max_dup) int32, -1 = absent: entry slot of dense candidate
+    # (i, j) — the VJP is one (N*max_dup)-index gather + reshape-sum.
+    # Cheapest in the linear gather regime (measured ~4.2 ns/index), but XLA
+    # TPU gathers turn superlinear past ~0.5M indices.
     inv_pos: jnp.ndarray | None = None
+    # plan (perm, masks, head): entry slots stably sorted by gaussian id
+    # (perm, (E,)), same-run neighbor masks at jumps 1, 2, ... (< max_dup,
+    # each (E,)), and each gaussian's first-entry position in that order
+    # (head, (N,), -1 = no entries). The VJP is one E-index gather + a
+    # masked segment-suffix sum + one N-index gather — E + N indices
+    # instead of N*max_dup, which keeps the full-capacity mission path out
+    # of the superlinear regime (2.1M indices at N=512k, max_dup=4).
+    plan: tuple | None = None
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def bin_entries(
-    mean_x: jnp.ndarray,
-    mean_y: jnp.ndarray,
-    ext_x: jnp.ndarray,
-    ext_y: jnp.ndarray,
-    depth_z: jnp.ndarray,
-    in_view: jnp.ndarray,
-    image_shape: tuple[int, int],
-    cfg: RasterConfig,
-    with_inverse: bool = False,
-) -> BinResult:
-    """Build the K-aligned per-tile entry layout with ONE sort.
+# adjoint-aid crossover: below this dense candidate count the one-gather
+# inverse map wins (linear regime, measured ~4.2 ns/index); above it the
+# sort-plan combine wins (XLA TPU gathers are superlinear past ~0.5M
+# indices — 8.5 ms at 1.05M vs 2.5 ms at 0.56M on the bench chip)
+INV_LINEAR_MAX = 1 << 19
 
-    `ext_x`/`ext_y` are per-axis half-extents in pixels (the AABB of the
-    sigma_extent ellipse, preprocess rows P_EXT_X/P_EXT_Y) — tighter than
-    the 3DGS circumscribed-circle convention for elongated surfels, and
-    still conservative: every pixel whose alpha survives `alpha_cut` within
-    the sigma_extent level set lies inside the box.
 
-    The dense (N, max_dup) candidate grid is enumerated gaussian-major and
-    its enumeration index doubles as a third sort key, so the
-    (tile, depth, enum) lexicographic order reproduces the oracle's exactly
-    (depth ties break by gaussian index, matching the stable `argsort` in
-    render/dense.py)."""
+def tile_spans(mean_x, mean_y, ext_x, ext_y, in_view, image_shape, cfg):
+    """Clamped per-gaussian tile span, capped at max_dup tiles (centered
+    shrink). Returns (tx0, ty0, span_w, span_h, n_truncated) — shared by
+    binning and by the per-keyframe entry-count measurement
+    (trainer.keyframe_view_stats) so the two can never disagree."""
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
-    num_tiles = ntx * nty
-    n = mean_x.shape[0]
-    kchunk = cfg.chunk
     max_dup = cfg.max_dup
-
-    # --- clamped tile span, capped at max_dup tiles (centered shrink) ---
     tx0 = jnp.clip(jnp.floor((mean_x - ext_x) / cfg.tile_w), 0, ntx - 1).astype(
         jnp.int32
     )
@@ -108,11 +103,48 @@ def bin_entries(
     cty = jnp.clip((mean_y / cfg.tile_h).astype(jnp.int32), ty0, ty1)
     tx0c = jnp.clip(ctx - (sw_c - 1) // 2, tx0, tx1 - sw_c + 1)
     ty0c = jnp.clip(cty - (sh_c - 1) // 2, ty0, ty1 - sh_c + 1)
+    n_trunc = jnp.sum(jnp.where(in_view, sw * sh - sw_c * sh_c, 0))
+    return tx0c, ty0c, sw_c, sh_c, n_trunc
 
+
+def bin_entries(
+    mean_x: jnp.ndarray,
+    mean_y: jnp.ndarray,
+    ext_x: jnp.ndarray,
+    ext_y: jnp.ndarray,
+    depth_z: jnp.ndarray,
+    in_view: jnp.ndarray,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig,
+    with_inverse: bool = False,
+    entry_budget: int | None = None,
+) -> BinResult:
+    """Build the K-aligned per-tile entry layout with ONE sort.
+
+    `ext_x`/`ext_y` are per-axis half-extents in pixels (the AABB of the
+    sigma_extent ellipse, preprocess rows P_EXT_X/P_EXT_Y) — tighter than
+    the 3DGS circumscribed-circle convention for elongated surfels, and
+    still conservative: every pixel whose alpha survives `alpha_cut` within
+    the sigma_extent level set lies inside the box.
+
+    The dense (N, max_dup) candidate grid is enumerated gaussian-major and
+    its enumeration index doubles as a third sort key, so the
+    (tile, depth, enum) lexicographic order reproduces the oracle's exactly
+    (depth ties break by gaussian index, matching the stable `argsort` in
+    render/dense.py)."""
+    h, w = image_shape
+    ntx = -(-w // cfg.tile_w)
+    nty = -(-h // cfg.tile_h)
+    num_tiles = ntx * nty
+    n = mean_x.shape[0]
+    kchunk = cfg.chunk
+    max_dup = cfg.max_dup
+
+    tx0c, ty0c, sw_c, sh_c, n_trunc = tile_spans(
+        mean_x, mean_y, ext_x, ext_y, in_view, image_shape, cfg
+    )
     dup = jnp.where(in_view, sw_c * sh_c, 0)
-    num_dropped = jnp.sum(
-        jnp.where(in_view, sw * sh - sw_c * sh_c, 0)
-    )  # span truncation, not budget overflow (dense layout never overflows)
+    num_dropped = n_trunc  # span truncation (dense layout never overflows)
 
     # --- per-tile histogram: separable rectangle count on the MXU ---
     # count[ty, tx] = sum_i [ty in y-span_i] * [tx in x-span_i]; exact in
@@ -179,8 +211,12 @@ def bin_entries(
     )
 
     # --- segment starts/lengths + compact budget truncation ---
+    # `entry_budget` (static, per keyframe from the measured entry count —
+    # trainer.keyframe_view_stats) sizes every downstream entry stream by
+    # what the views actually bin, instead of entry_budget_mult * capacity
     start = jnp.cumsum(pad_len) - pad_len  # K-aligned by construction
-    e_budget = int(n * cfg.entry_budget_mult) + num_tiles * (kchunk - 1)
+    base = int(n * cfg.entry_budget_mult) if entry_budget is None else entry_budget
+    e_budget = base + num_tiles * (kchunk - 1)
     e_budget = min(_round_up(e_budget, kchunk), e_alloc)
     start_c = jnp.minimum(start, e_budget).astype(jnp.int32)
     pad_len_c = jnp.minimum(pad_len, e_budget - start_c)
@@ -191,7 +227,8 @@ def bin_entries(
     live = (tile_s[:e_budget] < num_tiles) & (payload_b >= 0)
     gid = jnp.where(live, payload_b // max_dup, -1)
 
-    inv_pos = None
+    inv = None
+    plan = None
     if with_inverse:
         dense = max_dup * n
         # every dense slot appears in payload_sorted exactly once (dummies
@@ -200,13 +237,44 @@ def bin_entries(
         _, pos = jax.lax.sort(
             (payload_sorted, jnp.arange(e_alloc, dtype=jnp.int32)), num_keys=1
         )
-        pos = pos[e_alloc - dense :].reshape(n, max_dup)
-        inv_pos = jnp.where(sel & (pos < e_budget), pos, -1)
+        if dense <= INV_LINEAR_MAX:
+            posm = pos[e_alloc - dense :].reshape(n, max_dup)
+            inv = jnp.where(sel & (posm < e_budget), posm, -1)
+        else:
+            iota_e = jnp.arange(e_budget, dtype=jnp.int32)
+            keys = jnp.where(gid >= 0, gid, n)
+            sorted_gids, perm = jax.lax.sort(
+                (keys, iota_e), num_keys=1, is_stable=True
+            )
+            _, spos = jax.lax.sort((perm, iota_e), num_keys=1)
+            masks = []
+            k2 = 1
+            while k2 < max(max_dup, 2):
+                same = jnp.concatenate(
+                    [
+                        (sorted_gids[k2:] == sorted_gids[:-k2])
+                        & (sorted_gids[:-k2] < n),
+                        jnp.zeros((k2,), bool),
+                    ]
+                )
+                masks.append(same)
+                k2 *= 2
+            # first entry slot of each gaussian: dense candidate j=0 covers
+            # the smallest tile of its span, hence (tiles ascending in j,
+            # tile-major sort) the smallest slot; the stable gid sort keeps
+            # the smallest slot first within its run
+            pos0 = pos[e_alloc - dense :: max_dup]  # (n,) — candidate j=0
+            first_ok = (dup > 0) & (pos0 < e_budget)
+            head = jnp.where(
+                first_ok, spos[jnp.clip(pos0, 0, e_budget - 1)], -1
+            ).astype(jnp.int32)
+            plan = (perm, tuple(masks), head)
 
     return BinResult(
         gid=gid,
         tile_start=start_c,
         tile_len=seg_len_c,
         num_dropped=num_dropped,
-        inv_pos=inv_pos,
+        inv_pos=inv,
+        plan=plan,
     )

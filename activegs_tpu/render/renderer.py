@@ -65,6 +65,7 @@ def prepare_view_bins(
     cfg: RasterConfig = RasterConfig(),
     front_only: bool = False,
     with_inverse: bool = True,
+    entry_budget: int | None = None,
 ) -> binning.BinResult:
     """Compute the per-tile entry lists for a view (non-differentiable).
 
@@ -87,6 +88,7 @@ def prepare_view_bins(
         image_shape,
         cfg,
         with_inverse=with_inverse,
+        entry_budget=entry_budget,
     )
 
 
@@ -110,13 +112,11 @@ def _gather_entries_inv_fwd(params2d, gid_clipped, mask, inv_pos):
 def _gather_entries_inv_bwd(res, g):
     """Adjoint of the entry gather via the precomputed inverse positions:
     ONE combined gather of (N*max_dup) indices + a reshape-sum, instead of a
-    scatter-add over E (XLA TPU sorts scatter indices, ~24 ms measured) or
-    max_dup separate gathers (gather cost is per-index and independent of
-    row count, so batching the dup axis into one call halves it)."""
+    scatter-add over E (XLA TPU sorts scatter indices, ~24 ms measured).
+    Best in the linear gather regime; binning switches to the sort plan
+    (below) past INV_LINEAR_MAX dense candidates."""
     gid_clipped, mask, inv_pos = res
     n, max_dup = inv_pos.shape
-    # relayout the (PARAM_DIM, E) cotangent to rows once, then row-gather;
-    # dup-major flattening keeps the reduce a plain sum over dup row blocks
     gt = g.T  # (E, PARAM_DIM)
     idx = inv_pos.T.reshape(-1)  # (max_dup*N,)
     gj = jnp.where((idx >= 0)[:, None], gt[jnp.clip(idx, 0), :], 0.0)
@@ -126,6 +126,43 @@ def _gather_entries_inv_bwd(res, g):
 
 
 _gather_entries_inv.defvjp(_gather_entries_inv_fwd, _gather_entries_inv_bwd)
+
+
+@jax.custom_vjp
+def _gather_entries_plan(params2d, gid_clipped, mask, plan):
+    return jnp.where(mask, params2d[gid_clipped, :], 0.0).T
+
+
+def _gather_entries_plan_fwd(params2d, gid_clipped, mask, plan):
+    return _gather_entries_plan(params2d, gid_clipped, mask, plan), (
+        gid_clipped,
+        mask,
+        plan,
+    )
+
+
+def _gather_entries_plan_bwd(res, g):
+    """Adjoint of the entry gather via the precomputed sort plan
+    (binning.BinResult.plan): gather the (E, PARAM_DIM) cotangent into
+    sorted-by-gaussian order, sum each gaussian's run with masked shifted
+    adds (run length <= max_dup), and read run heads — E + N gather indices
+    instead of N*max_dup, keeping the full-capacity path out of the
+    superlinear gather regime."""
+    gid_clipped, mask, plan = res
+    perm, masks, head = plan
+    gt = g.T  # (E, PARAM_DIM)
+    s = gt[perm, :]
+    jump = 1
+    for m in masks:
+        sh = jnp.concatenate([s[jump:], jnp.zeros((jump, s.shape[1]), s.dtype)], 0)
+        s = s + jnp.where(m[:, None], sh, 0.0)
+        jump *= 2
+    d = jnp.where((head >= 0)[:, None], s[jnp.clip(head, 0), :], 0.0)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d, f0(gid_clipped), f0(mask), jax.tree.map(f0, plan)
+
+
+_gather_entries_plan.defvjp(_gather_entries_plan_fwd, _gather_entries_plan_bwd)
 
 
 def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=None):
@@ -150,6 +187,8 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
     mask = (b.gid >= 0)[:, None]
     if b.inv_pos is not None:
         entries = _gather_entries_inv(params2d, gidc, mask, b.inv_pos)
+    elif b.plan is not None:
+        entries = _gather_entries_plan(params2d, gidc, mask, b.plan)
     else:
         # jnp.where (not multiply) so the VJP never touches garbage slots
         entries = jnp.where(mask, params2d[gidc, :], 0.0).T

@@ -239,13 +239,24 @@ def main():
     # and each view trains its compacted in-view subset (mapper.step parity)
     cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
     state = gm.slice_state(state, cap_b)
-    max_in_view = int(
-        trainer.keyframe_view_stats(state, buf, jax.random.PRNGKey(0), cfg, raster_cfg)
+    max_in_view, max_entries = (
+        int(x)
+        for x in trainer.keyframe_view_stats(
+            state, buf, jax.random.PRNGKey(0), cfg, raster_cfg
+        )
     )
     subset_bucket = trainer.pick_subset_bucket(max_in_view, cap_b)
+    entry_budget = trainer.pick_entry_bucket(max_entries)
 
     run = lambda s, b, k: trainer.train_keyframe(
-        s, b, k, cfg, raster_cfg, steps=steps, subset_bucket=subset_bucket
+        s,
+        b,
+        k,
+        cfg,
+        raster_cfg,
+        steps=steps,
+        subset_bucket=subset_bucket,
+        entry_budget=entry_budget,
     )
 
     def perturbed(i):

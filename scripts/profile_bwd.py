@@ -70,7 +70,7 @@ def main():
     state = gm.slice_state(state, cap_b)
     key = jax.random.PRNGKey(0)
     sb = trainer.pick_subset_bucket(
-        int(trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)), cap_b
+        int(trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)[0]), cap_b
     )
     key, k1 = jax.random.split(key)
     ids = kf.sample_weighted(buf, k1, cfg.batch_size, cfg.active_size)
@@ -98,7 +98,7 @@ def main():
 
     # 1. composite kernel fwd
     entries0 = jnp.asarray(
-        jax.jit(lambda: _gather_entries_inv(p2d, gidc, emask, bv.inv_pos))()
+        jax.jit(lambda: _gather_entries_inv(p2d, gidc, emask, bv.plan))()
     )
     f = loop(lambda e, ent, ts, tl: cp.composite_tiled(ent + e, ts, tl, static))
     t = timed(f, entries0, bv.tile_start, bv.tile_len)
@@ -117,7 +117,7 @@ def main():
 
     # 3. entry gather fwd / fwd+bwd (p2d (B, 24) -> (24, E))
     t = timed(
-        loop(lambda e, p: _gather_entries_inv(p + e, gidc, emask, bv.inv_pos)), p2d
+        loop(lambda e, p: _gather_entries_inv(p + e, gidc, emask, bv.plan)), p2d
     )
     print(f"entry gather fwd:  {t:6.3f} ms/view")
 
@@ -126,7 +126,7 @@ def main():
         # cannot be constant-folded out of the timing loop
         return jax.grad(
             lambda x: jnp.sum(
-                jnp.square(_gather_entries_inv(x, gidc, emask, bv.inv_pos))
+                jnp.square(_gather_entries_inv(x, gidc, emask, bv.plan))
             )
             * 1e-6
         )(p + e)

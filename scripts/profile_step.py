@@ -70,7 +70,9 @@ def main():
     cap_b = gm.bucket_capacity(200_000, cfg.capacity)
     state = gm.slice_state(state, cap_b)
     key = jax.random.PRNGKey(0)
-    max_iv = int(trainer.keyframe_view_stats(state, buf, key, cfg, raster_cfg))
+    max_iv, _ = (
+        int(x) for x in trainer.keyframe_view_stats(state, buf, key, cfg, raster_cfg)
+    )
     sb = trainer.pick_subset_bucket(max_iv, cap_b)
     print(f"capacity bucket {cap_b}, max in-view {max_iv}, subset bucket {sb}")
 

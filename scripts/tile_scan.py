@@ -48,8 +48,9 @@ def main():
     for th, tw, chunk, max_dup in configs:
         rcfg = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk, max_dup=max_dup)
         try:
-            max_iv = int(
-                trainer.keyframe_view_stats(
+            max_iv, _ = (
+                int(x)
+                for x in trainer.keyframe_view_stats(
                     state0, buf, jax.random.PRNGKey(0), cfg, rcfg
                 )
             )

@@ -438,12 +438,16 @@ class TestSubsetTraining:
 
     def test_keyframe_view_stats_and_bucket(self):
         cfg, raster, state, buf = self._setup()
-        mx = int(
-            trainer.keyframe_view_stats(
+        mx, max_entries = (
+            int(x)
+            for x in trainer.keyframe_view_stats(
                 state, buf, jax.random.PRNGKey(11), cfg, raster
             )
         )
         assert 0 < mx <= 64
+        assert max_entries >= mx  # every in-view gaussian bins >= 1 entry
         assert trainer.pick_subset_bucket(mx, 256, min_bucket=32) in (32, 64, 128, None)
         assert trainer.pick_subset_bucket(100, 8192, min_bucket=32) == 128
         assert trainer.pick_subset_bucket(6000, 8192, min_bucket=32) is None
+        assert trainer.pick_entry_bucket(100, min_bucket=32) == 128
+        assert trainer.pick_entry_bucket(10, min_bucket=32) == 32

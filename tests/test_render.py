@@ -520,17 +520,24 @@ class TestPrebinnedRender:
         assert int(aux["num_dropped"]) > 0
         assert np.isfinite(np.asarray(out.rgb)).all()
 
-    def test_frozen_bins_gradients_match(self):
-        # gradients through the inverse-position gather VJP must equal the
-        # plain scatter-add path
+    def test_frozen_bins_gradients_match(self, monkeypatch, plan_mode=False):
+        # gradients through the inverse-position (or, with plan_mode, the
+        # sort-plan) gather VJP must equal the plain scatter-add path
         from activegs_tpu.render.renderer import prepare_view_bins
 
+        if plan_mode:
+            # force the large-N sort-plan branch (the mission's full-capacity
+            # path) on a CPU-sized problem
+            monkeypatch.setattr(binning, "INV_LINEAR_MAX", 0)
         attrs = make_attrs(64, seed=8)
         cam = make_camera()
         shape = (64, 64)
         key = jax.random.PRNGKey(3)
         bins = prepare_view_bins(attrs, cam, shape, CFG, with_inverse=True)
-        assert bins.inv_pos is not None
+        if plan_mode:
+            assert bins.plan is not None and bins.inv_pos is None
+        else:
+            assert bins.inv_pos is not None and bins.plan is None
 
         def loss_with(bin_result):
             def f(means):
@@ -551,9 +558,12 @@ class TestPrebinnedRender:
             tile_start=bins.tile_start,
             tile_len=bins.tile_len,
             num_dropped=bins.num_dropped,
-            inv_pos=None,
+            plan=None,
         )
         g_plain = jax.grad(loss_with(bins_plain))(attrs.means)
         np.testing.assert_allclose(
             np.asarray(g_inv), np.asarray(g_plain), rtol=1e-5, atol=1e-6
         )
+
+    def test_frozen_bins_gradients_match_plan(self, monkeypatch):
+        self.test_frozen_bins_gradients_match(monkeypatch, plan_mode=True)
