@@ -138,6 +138,7 @@ def build_components(cfg: ConfigNode):
         tile_h=r.get("tile_h", RasterConfig.tile_h),
         tile_w=r.get("tile_w", RasterConfig.tile_w),
         max_dup=r.get("max_dup", 4),
+        bf16_pairs=r.get("bf16_pairs", RasterConfig.bf16_pairs),
         interpret=r.get("interpret", None),
     )
     p = cfg.planner

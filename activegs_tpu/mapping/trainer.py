@@ -338,53 +338,60 @@ def train_keyframe(
                     (batch[2], batch[3]),
                 )
 
+        # loop-carry ONLY the (F,) performance array, not the whole buffer:
+        # the frame tensors are read-only inside the loop (batch is decoded
+        # above) and a (F, 3, H, W) carry invites XLA to keep ~1 GB of
+        # mission-scale buffer state live through every unrolled step
         if mesh is not None:
             from ..parallel import sharded
 
             def body(i, carry):
-                params, opt_state, buf, _ = carry
+                params, opt_state, perf, _ = carry
                 loss, grads, per_frame = sharded.sharded_train_step(
                     params, state, batch, mesh, cfg, raster_cfg, bins, subsets
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                buf = kf.update_performance(buf, ids, per_frame)
-                return params, opt_state, buf, loss
+                perf = perf.at[ids].set(per_frame)
+                return params, opt_state, perf, loss
 
         else:
 
             def body(i, carry):
-                params, opt_state, buf, _ = carry
+                params, opt_state, perf, _ = carry
                 (loss, per_frame), grads = jax.value_and_grad(
                     batch_loss, has_aux=True
                 )(params, state, batch, cfg, raster_cfg, bins, subsets)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                buf = kf.update_performance(buf, ids, per_frame)
-                return params, opt_state, buf, loss
+                perf = perf.at[ids].set(per_frame)
+                return params, opt_state, perf, loss
 
-        params, opt_state, buf, last_loss = jax.lax.fori_loop(
-            0, steps, body, (params, opt_state, buf, jnp.float32(0.0))
+        params, opt_state, perf, last_loss = jax.lax.fori_loop(
+            0, steps, body, (params, opt_state, buf.performance, jnp.float32(0.0))
         )
+        buf = dataclasses.replace(buf, performance=perf)
         aux = {"num_dropped": jnp.sum(bins.num_dropped)}
         return _with_params(state, params), buf, last_loss, aux
 
     def body(i, carry):
-        params, opt_state, buf, key, _ = carry
+        params, opt_state, perf, key, _ = carry
         key, k1 = jax.random.split(key)
-        ids = sample(buf, k1, cfg.batch_size, cfg.active_size)
+        buf_i = dataclasses.replace(buf, performance=perf)
+        ids = sample(buf_i, k1, cfg.batch_size, cfg.active_size)
         batch = kf.decode_frames(buf, ids)
         (loss, per_frame), grads = jax.value_and_grad(batch_loss, has_aux=True)(
             params, state, batch, cfg, raster_cfg
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        buf = kf.update_performance(buf, ids, per_frame)
-        return params, opt_state, buf, key, loss
+        perf = perf.at[ids].set(per_frame)
+        return params, opt_state, perf, key, loss
 
-    params, opt_state, buf, key, last_loss = jax.lax.fori_loop(
-        0, steps, body, (params, opt_state, buf, key, jnp.float32(0.0))
+    params, opt_state, perf, key, last_loss = jax.lax.fori_loop(
+        0, steps, body, (params, opt_state, buf.performance, key, jnp.float32(0.0))
     )
+    buf = dataclasses.replace(buf, performance=perf)
     # per-step re-binning: drop counter not tracked on this path
     aux = {"num_dropped": jnp.int32(-1)}
     return _with_params(state, params), buf, last_loss, aux

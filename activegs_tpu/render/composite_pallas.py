@@ -7,7 +7,10 @@ CUDA tile rasterizer's render/backward stages (external package
 Design (one grid program per 32x32-pixel tile):
   * entry parameters live in HBM as a (PARAM_DIM, E) array whose per-tile
     segments are K-aligned (binning.py); chunks of K entries are streamed
-    into VMEM with double-buffered DMA,
+    into VMEM with double-buffered DMA. (A row-major (E, 128-padded) seam
+    that eliminated the XLA-side transposes was MEASURED SLOWER — 37.6 ->
+    33.9 Mrays/s on the bench — the 5.3x DMA/VMEM inflation and 128-lane
+    register pressure cost more than the relayouts they removed.)
   * per chunk, alphas for all (K entries x P pixels) are evaluated on the
     VPU, transmittance is a Hillis-Steele prefix product along the entry
     axis, and the 7 feature channels accumulate via a (7, K) @ (K, P) MXU
@@ -134,21 +137,22 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
         alpha = jnp.where(kmask, alpha, 0.0)
 
-        one_m = 1.0 - alpha
+        one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
         cum = _cumprod_k(one_m, kchunk)  # inclusive
         excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
-        wgt = alpha * excl * trans  # (K, P)
+        wgt = alpha * excl * trans.astype(alpha.dtype)  # (K, P)
 
-        feats = _feats_of(e)  # (7, K)
+        feats = _feats_of(e).astype(alpha.dtype)  # (7, K)
         ch = jax.lax.dot_general(
             feats,
             wgt,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (7, P)
-        dsum = jnp.sum(wgt * tdep, axis=0, keepdims=True)  # (1, P)
+        # depth accumulates in f32 (bf16 depth would quantize ~2 cm at 5 m)
+        dsum = jnp.sum(wgt * tdep, axis=0, keepdims=True)  # (1, P) f32
         acc = acc + jnp.concatenate([ch, dsum], axis=0)
-        trans = trans * cum[-1:]
+        trans = trans * cum[-1:].astype(jnp.float32)
         return (i + 1, trans, acc)
 
     init = (
@@ -206,6 +210,9 @@ def _bwd_kernel(
     g_depth = g[ROW_DEPTH : ROW_DEPTH + 1, :]
     g_trans = g[ROW_TRANS : ROW_TRANS + 1, :]
     t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
+    dt = jnp.bfloat16 if cfg.bf16_pairs else jnp.float32
+    g_feat_d = g_feat.astype(dt)  # matmul operand in pair dtype (MXU-native)
+    gtf = (g_trans * t_final).astype(dt)  # (1, P), hoisted out of the loop
 
     def wdma(slot, chunk):
         off = pl.multiple_of(start + chunk * kchunk, kchunk)
@@ -214,14 +221,30 @@ def _bwd_kernel(
         )
 
     # ---- zero-fill chunks the forward pass never reached ----
-    def zero_body(i, _):
+    # both write slots hold zeros; DMAs alternate slots/semaphores with up
+    # to two in flight (the old loop start();wait()ed each chunk serially)
+    @pl.when(stop < nch)
+    def _():
         wbuf[0] = jnp.zeros((PARAM_DIM, kchunk), jnp.float32)
-        cp = wdma(0, i)
-        cp.start()
-        cp.wait()
+        wbuf[1] = jnp.zeros((PARAM_DIM, kchunk), jnp.float32)
+
+    def zero_body(i, _):
+        @pl.when(i - 2 >= stop)
+        def _():
+            wdma((i - 2) % 2, i - 2).wait()
+
+        wdma(i % 2, i).start()
         return 0
 
     jax.lax.fori_loop(stop, nch, zero_body, 0)
+
+    @pl.when(nch - 2 >= stop)
+    def _():
+        wdma((nch - 2) % 2, nch - 2).wait()
+
+    @pl.when(nch - 1 >= stop)
+    def _():
+        wdma((nch - 1) % 2, nch - 1).wait()
 
     @pl.when(stop > 0)
     def _():
@@ -243,47 +266,54 @@ def _bwd_kernel(
         kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
         alpha = jnp.where(kmask, terms["alpha"], 0.0)
 
-        one_m = 1.0 - alpha
+        one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
         cum = _cumprod_k(one_m, kchunk)
         total = cum[-1:]
-        t_before = t_after / jnp.maximum(total, 1e-30)
+        t_before = t_after / jnp.maximum(total.astype(jnp.float32), 1e-30)
         excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
-        t_k = t_before * excl
-        wgt = alpha * t_k  # (K, P)
+        t_k = t_before.astype(dt) * excl
+        wgt = alpha * t_k  # (K, P) pair dtype
 
-        feats = _feats_of(e)  # (7, K)
+        feats = _feats_of(e).astype(dt)  # (7, K)
         # q_k(p) = sum_c feat_c[k] g_c(p) + t_k(p) g_depth(p)
         q = (
             jax.lax.dot_general(
                 feats,
-                g_feat,
+                g_feat_d,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + tdep * g_depth
-        )  # (K, P)
-        wq = wgt * q
+        )  # (K, P) f32
+        q_d = q.astype(dt)
+        wq = wgt * q_d
         incl = _cumsum_k(wq, kchunk)
-        suffix = s_q + (incl[-1:] - incl)  # sum over entries strictly after k
-        dalpha = t_k * q - (suffix + g_trans * t_final) / jnp.maximum(one_m, 0.01)
-        active = (alpha > 0.0) & (alpha < cfg.alpha_max)
+        suffix = s_q.astype(dt) + (incl[-1:] - incl)  # entries strictly after k
+        dalpha = t_k * q_d - (suffix + gtf) / jnp.maximum(one_m, 0.01)
+        # Mosaic v5e has no bf16 vector compare: the active mask runs on an
+        # f32 upcast, against the alpha_max value as rounded by the forward
+        # clamp in the pair dtype (else clamped entries leak gradient)
+        af = alpha.astype(jnp.float32)
+        active = (af > 0.0) & (af < pp.effective_alpha_max(cfg))
         dalpha = jnp.where(active, dalpha, 0.0)
 
         # ---- chain into entry parameters ----
         # per-entry constants (ca/cb/cc) are pulled OUT of the per-pair
         # reductions: the five mean/conic grads reduce to five moment sums
         # of dpow against {dx, dy, dx^2, dxdy, dy^2} (t1/t2 shared), ~10
-        # fewer VPU ops per pair than the direct integrand forms
+        # fewer VPU ops per pair than the direct integrand forms.
+        # Reductions accumulate in f32 regardless of the pair dtype.
+        f32 = jnp.float32
         dx = terms["dx"]
         dy = terms["dy"]
         dpow = dalpha * alpha  # d/d(power) premultiplier
         t1 = dpow * dx
         t2 = dpow * dy
-        s_x = jnp.sum(t1, 1, keepdims=True)
-        s_y = jnp.sum(t2, 1, keepdims=True)
-        s_xx = jnp.sum(t1 * dx, 1, keepdims=True)
-        s_xy = jnp.sum(t1 * dy, 1, keepdims=True)
-        s_yy = jnp.sum(t2 * dy, 1, keepdims=True)
+        s_x = jnp.sum(t1, 1, keepdims=True, dtype=f32)
+        s_y = jnp.sum(t2, 1, keepdims=True, dtype=f32)
+        s_xx = jnp.sum(t1 * dx, 1, keepdims=True, dtype=f32)
+        s_xy = jnp.sum(t1 * dy, 1, keepdims=True, dtype=f32)
+        s_yy = jnp.sum(t2 * dy, 1, keepdims=True, dtype=f32)
         dmean_x = cols["ca"] * s_x + cols["cb"] * s_y
         dmean_y = cols["cb"] * s_x + cols["cc"] * s_y
         dca = -0.5 * s_xx
@@ -292,19 +322,20 @@ def _bwd_kernel(
         # d(alpha)/d(op) = exp(power) wherever alpha is not clamped — `active`
         # already zeroed dalpha at the alpha_max clamp and the cutoff, so the
         # per-pair divide alpha/op reduces to the exp already computed
-        dop = jnp.sum(dalpha * terms["ex"], 1, keepdims=True)
+        dop = jnp.sum(dalpha * terms["ex"], 1, keepdims=True, dtype=f32)
 
         # feature grads: (K, 7) = wgt (K,P) @ g_feat^T (P,7)
         dfeat = jax.lax.dot_general(
             wgt,
-            g_feat,
+            g_feat_d,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (K, 7)
 
         # depth-plane grads (inv_denom / t_raw / clamp masks shared with the
-        # alpha-depth evaluation above — one divide per pair, not three)
-        wgd = wgt * g_depth
+        # alpha-depth evaluation above — one divide per pair, not three);
+        # stays f32 end-to-end
+        wgd = wgt.astype(f32) * g_depth
         t_raw = terms["t_raw"]
         ok = terms["ok"]
         inside = ok & ~terms["lo_clamped"] & ~terms["hi_clamped"]
@@ -402,11 +433,15 @@ def _stats_kernel(
     pix_mask = mask[0:1, :]
     thres = thres_ref[0, 0]
 
-    def wdma(chunk):
+    def wdma(slot, chunk):
         off = pl.multiple_of(start + chunk * kchunk, kchunk)
         return (
-            pltpu.make_async_copy(wimp, imp_ref.at[:, pl.ds(off, kchunk)], wsem.at[0]),
-            pltpu.make_async_copy(wcnt, cnt_ref.at[:, pl.ds(off, kchunk)], wsem.at[1]),
+            pltpu.make_async_copy(
+                wimp.at[slot], imp_ref.at[:, pl.ds(off, kchunk)], wsem.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                wcnt.at[slot], cnt_ref.at[:, pl.ds(off, kchunk)], wsem.at[slot, 1]
+            ),
         )
 
     @pl.when(nch > 0)
@@ -441,16 +476,17 @@ def _stats_kernel(
             jnp.where(wm >= thres, 1.0, 0.0), axis=1, keepdims=True
         )
 
-        # wait for previous writes before reusing the single write buffers
-        @pl.when(i > 0)
+        # double-buffered writes: wait only when reusing a slot (two chunks
+        # back), so chunk i+1's compute overlaps chunk i's write DMA
+        @pl.when(i > 1)
         def _():
-            a, b = wdma(i - 1)
+            a, b = wdma(i % 2, i - 2)
             a.wait()
             b.wait()
 
-        wimp[:, :] = imp.T
-        wcnt[:, :] = cnt.T
-        a, b = wdma(i)
+        wimp[i % 2] = imp.T
+        wcnt[i % 2] = cnt.T
+        a, b = wdma(i % 2, i)
         a.start()
         b.start()
 
@@ -463,24 +499,51 @@ def _stats_kernel(
     def _():
         _entry_dma(entries_ref, buf, sem, start, i_end, i_end % 2, kchunk).wait()
 
-    @pl.when(i_end > 0)
+    @pl.when(i_end > 1)
     def _():
-        a, b = wdma(i_end - 1)
+        a, b = wdma(i_end % 2, i_end - 2)
         a.wait()
         b.wait()
 
-    # zero-fill unreached chunks
-    def zero_body(i, _):
-        wimp[:, :] = jnp.zeros((1, kchunk), jnp.float32)
-        wcnt[:, :] = jnp.zeros((1, kchunk), jnp.float32)
-        a, b = wdma(i)
-        a.start()
-        b.start()
+    @pl.when(i_end > 0)
+    def _():
+        a, b = wdma((i_end - 1) % 2, i_end - 1)
         a.wait()
         b.wait()
+
+    # zero-fill unreached chunks (both slots zeroed, DMAs pipelined)
+    @pl.when(i_end < nch)
+    def _():
+        wimp[0] = jnp.zeros((1, kchunk), jnp.float32)
+        wimp[1] = jnp.zeros((1, kchunk), jnp.float32)
+        wcnt[0] = jnp.zeros((1, kchunk), jnp.float32)
+        wcnt[1] = jnp.zeros((1, kchunk), jnp.float32)
+
+    def zero_body(i, _):
+        @pl.when(i - 2 >= i_end)
+        def _():
+            a, b = wdma((i - 2) % 2, i - 2)
+            a.wait()
+            b.wait()
+
+        a, b = wdma(i % 2, i)
+        a.start()
+        b.start()
         return 0
 
     jax.lax.fori_loop(i_end, nch, zero_body, 0)
+
+    @pl.when(nch - 2 >= i_end)
+    def _():
+        a, b = wdma((nch - 2) % 2, nch - 2)
+        a.wait()
+        b.wait()
+
+    @pl.when(nch - 1 >= i_end)
+    def _():
+        a, b = wdma((nch - 1) % 2, nch - 1)
+        a.wait()
+        b.wait()
 
 
 # --------------------------------------------------------------------------
@@ -608,9 +671,9 @@ def composite_stats(
         scratch_shapes=[
             pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((1, cfg.chunk), jnp.float32),
-            pltpu.VMEM((1, cfg.chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, cfg.chunk), jnp.float32),
+            pltpu.VMEM((2, 1, cfg.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

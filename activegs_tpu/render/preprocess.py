@@ -204,6 +204,28 @@ def preprocess(
     return params2d, jnp.where(in_view, radius, 0.0), pz, in_view
 
 
+def _cut(alpha: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """Zero alpha below alpha_cut. Mosaic v5e has no bf16 vector compare
+    (`arith.cmpf` on bf16 fails to compile), so under bf16_pairs the
+    threshold test runs on an f32 upcast; the select stays in bf16."""
+    if alpha.dtype == jnp.bfloat16:
+        keep = alpha.astype(jnp.float32) >= cfg.alpha_cut
+        return jnp.where(keep, alpha, 0.0)
+    return jnp.where(alpha >= cfg.alpha_cut, alpha, 0.0)
+
+
+def effective_alpha_max(cfg: RasterConfig) -> float:
+    """The clamp value alpha actually saturates at: cfg.alpha_max rounded to
+    the pair dtype (the backward `active` mask must compare against the
+    value the forward clamp produced, or clamped entries leak gradient)."""
+    if cfg.bf16_pairs:
+        import ml_dtypes
+        import numpy as np
+
+        return float(np.asarray(cfg.alpha_max, ml_dtypes.bfloat16))
+    return cfg.alpha_max
+
+
 def eval_alpha_depth_cols(
     cols: dict, px: jnp.ndarray, py: jnp.ndarray, cfg: RasterConfig
 ):
@@ -217,14 +239,27 @@ def eval_alpha_depth_cols(
     (`gau_frag.glsl:20-26`); depth = ray/plane intersection clamped around
     the center depth.
     """
-    dx = px - cols["mean_x"]
+    dx = px - cols["mean_x"]  # formed in f32: screen coords need the mantissa
     dy = py - cols["mean_y"]
-    power = (
-        -0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy) - cols["cb"] * dx * dy
-    )
-    alpha = cols["op"] * jnp.exp(jnp.minimum(power, 0.0))
+    if cfg.bf16_pairs:
+        # bf16 alpha evaluation (2.1x VPU, scripts/microbench_bf16.py):
+        # dx/dy span at most the tile + 3 sigma (tens of pixels), so the
+        # bf16 cast after the f32 subtraction costs ~0.4% relative — far
+        # below alpha_cut-level significance
+        b = jnp.bfloat16
+        dxb, dyb = dx.astype(b), dy.astype(b)
+        power = (
+            -0.5 * (cols["ca"].astype(b) * dxb * dxb + cols["cc"].astype(b) * dyb * dyb)
+            - cols["cb"].astype(b) * dxb * dyb
+        )
+        alpha = cols["op"].astype(b) * jnp.exp(jnp.minimum(power, 0.0))
+    else:
+        power = (
+            -0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy) - cols["cb"] * dx * dy
+        )
+        alpha = cols["op"] * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(alpha, cfg.alpha_max)
-    alpha = jnp.where(alpha >= cfg.alpha_cut, alpha, 0.0)
+    alpha = _cut(alpha, cfg)
 
     denom = cols["pa"] * px + cols["pb"] * py + cols["pc"]
     ok = jnp.abs(denom) > 1e-8
@@ -242,16 +277,30 @@ def eval_pair_terms_bwd(
     Same math as `eval_alpha_depth_cols` but returns the shared
     intermediates the gradient chains need (dx, dy, exp(power), 1/denom,
     raw plane depth, clamp masks), so the kernel computes each per-pair
-    divide/exponential exactly once instead of re-deriving them."""
+    divide/exponential exactly once instead of re-deriving them.
+
+    With cfg.bf16_pairs, alpha/ex/dx/dy come back in bfloat16 (the backward
+    kernel keeps its big (K, P) products in bf16 and accumulates reductions
+    in f32); the depth-plane chain stays f32 throughout."""
     dx = px - cols["mean_x"]
     dy = py - cols["mean_y"]
-    power = (
-        -0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy) - cols["cb"] * dx * dy
-    )
-    ex = jnp.exp(jnp.minimum(power, 0.0))
-    alpha = cols["op"] * ex
+    if cfg.bf16_pairs:
+        b = jnp.bfloat16
+        dx, dy = dx.astype(b), dy.astype(b)
+        power = (
+            -0.5 * (cols["ca"].astype(b) * dx * dx + cols["cc"].astype(b) * dy * dy)
+            - cols["cb"].astype(b) * dx * dy
+        )
+        ex = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = cols["op"].astype(b) * ex
+    else:
+        power = (
+            -0.5 * (cols["ca"] * dx * dx + cols["cc"] * dy * dy) - cols["cb"] * dx * dy
+        )
+        ex = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = cols["op"] * ex
     alpha = jnp.minimum(alpha, cfg.alpha_max)
-    alpha = jnp.where(alpha >= cfg.alpha_cut, alpha, 0.0)
+    alpha = _cut(alpha, cfg)
 
     denom = cols["pa"] * px + cols["pb"] * py + cols["pc"]
     ok = jnp.abs(denom) > 1e-8

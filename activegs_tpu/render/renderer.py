@@ -29,6 +29,12 @@ from .types import (
 )
 
 
+# NOTE (measured, do not retry blindly): padding entry rows to a 128-lane
+# row-major (E, 128) seam to skip the (E, 24) -> (24, E) relayouts was
+# SLOWER end-to-end (37.6 -> 33.9 Mrays/s): DMA/VMEM inflation + in-kernel
+# 128-lane register pressure outweigh the transposes.
+
+
 def _tile_grid(image_shape, cfg: RasterConfig):
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)

@@ -121,6 +121,19 @@ class RasterConfig:
     sigma_extent: float = 3.0  # bbox radius in sigmas (gau_vert.glsl:156)
     depth_lo: float = 0.5  # plane-depth clamp, relative to center depth
     depth_hi: float = 2.0
+    # bf16 pair math: evaluate the per-(entry, pixel) alpha terms and the
+    # transmittance scan in bfloat16. dx/dy are formed in f32 first (screen
+    # coords need the mantissa), the depth-plane chain and all accumulators
+    # stay f32, reductions accumulate in f32, and compares run on f32
+    # upcasts (Mosaic v5e has no bf16 vector compare). Correctness is pinned
+    # by tests/test_render.py::TestBf16 (PSNR-convergence parity).
+    #
+    # MEASURED SLOWER on the v5e bench despite 2.1x raw bf16 VPU throughput
+    # (scripts/microbench_bf16.py): 33.8 vs 37.6 Mrays/s — every f32<->bf16
+    # cast is a cross-sublane repack ((8,128) vs (16,128) native tiles) and
+    # the kernels' mixed-precision seams outnumber the pure mul/add runs
+    # bf16 accelerates. Kept as an option for future hardware; default off.
+    bf16_pairs: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 
     @property

@@ -229,7 +229,7 @@ def main():
     batch = 8
 
     cfg = gm.MapConfig(capacity=1 << 19, batch_size=batch, optimization_steps=steps)
-    raster_cfg = RasterConfig()
+    raster_cfg = RasterConfig(bf16_pairs=bool(os.environ.get("BENCH_BF16")))
 
     import dataclasses
 

@@ -77,7 +77,12 @@ def main():
     print(f"capacity bucket {cap_b}, max in-view {max_iv}, subset bucket {sb}")
 
     # replicate the frozen-bins prep exactly as train_keyframe does
-    key, k1 = jax.random.split(key)
+    key2, k1 = jax.random.split(key)
+    max_iv2, max_ents = (
+        int(x) for x in trainer.keyframe_view_stats(state, buf, key, cfg, raster_cfg)
+    )
+    eb = trainer.pick_entry_bucket(max_ents)
+    print(f"entry budget {eb} (max entries {max_ents})")
     ids = kf.sample_weighted(buf, k1, cfg.batch_size, cfg.active_size)
     batch = jax.tree.map(jnp.asarray, kf.decode_frames(buf, ids))
     h, w = batch[0].shape[-2:]
@@ -85,6 +90,7 @@ def main():
     packed0 = pack_attrs(attrs0)
 
     from activegs_tpu.render import preprocess as rp
+    from activegs_tpu.render.renderer import build_combine_plan
 
     @jax.jit
     def prep():
@@ -93,15 +99,19 @@ def main():
             _, _, _, iv = rp.preprocess(attrs0, cam, (h, w), raster_cfg)
             sel, selv, inv, _n = compact_in_view(iv, sb)
             attrs_v = subset_view(packed0, (sel, selv, inv))
-            bins_v = prepare_view_bins(attrs_v, cam, (h, w), raster_cfg)
+            bins_v = prepare_view_bins(
+                attrs_v, cam, (h, w), raster_cfg, entry_budget=eb
+            )
             return sel, selv, inv, bins_v
 
-        return jax.lax.map(prep_one, (batch[2], batch[3]))
+        sels, selvs, invs, bins = jax.lax.map(prep_one, (batch[2], batch[3]))
+        plan = build_combine_plan(sels, selvs, invs, attrs0.num)
+        return sels, selvs, invs, bins, plan
 
     t0 = time.perf_counter()
-    sels, selvs, invs, bins = jax.tree.map(jnp.asarray, prep())
+    sels, selvs, invs, bins, plan = jax.tree.map(jnp.asarray, prep())
     t_prep = (time.perf_counter() - t0) * 1000.0
-    subsets = (sels, selvs, invs)
+    subsets = (sels, selvs, invs, plan)
     params = trainer._params_of(state)
     print(f"prep (8-view subset+bins, once/keyframe): {t_prep:.1f} ms incl dispatch")
 
@@ -143,17 +153,18 @@ def main():
     print(f"loss forward only:          {t_f:7.2f} ms/step")
 
     # ---- phase: render-only fwd (no loss pipeline) ------------------------
+    from activegs_tpu.render.renderer import subset_packed_batch, unpack_attrs
+
     def render_fwd(eps, params):
         p = jax.tree.map(lambda x: x + eps, params)
         st = trainer._with_params(state, p)
         attrs = gm.attrs_of(st, cfg)
-        packed = pack_attrs(attrs)
+        stacked = subset_packed_batch(pack_attrs(attrs), sels, selvs, plan)
 
         def one(args):
-            ext, intr, b, sel, selv, inv = args
-            attrs_v = subset_view(packed, (sel, selv, inv))
+            ext, intr, b, rows = args
             o, _aux = render_view(
-                attrs_v,
+                unpack_attrs(rows),
                 Camera(extrinsic=ext, intrinsic=intr),
                 (h, w),
                 raster_cfg,
@@ -162,7 +173,7 @@ def main():
             )
             return o
 
-        out = jax.lax.map(one, (batch[2], batch[3], bins, sels, selvs, invs))
+        out = jax.lax.map(one, (batch[2], batch[3], bins, stacked))
         return jnp.sum(out.rgb) * 1e-6
 
     t_rf = timed(loop(render_fwd), params)
@@ -175,13 +186,12 @@ def main():
         def inner(p):
             st = trainer._with_params(state, p)
             attrs = gm.attrs_of(st, cfg)
-            packed = pack_attrs(attrs)
+            stacked = subset_packed_batch(pack_attrs(attrs), sels, selvs, plan)
 
             def one(args):
-                ext, intr, b, sel, selv, inv = args
-                attrs_v = subset_view(packed, (sel, selv, inv))
+                ext, intr, b, rows = args
                 o, _aux = render_view(
-                    attrs_v,
+                    unpack_attrs(rows),
                     Camera(extrinsic=ext, intrinsic=intr),
                     (h, w),
                     raster_cfg,
@@ -190,7 +200,7 @@ def main():
                 )
                 return o
 
-            out = jax.lax.map(one, (batch[2], batch[3], bins, sels, selvs, invs))
+            out = jax.lax.map(one, (batch[2], batch[3], bins, stacked))
             return (
                 jnp.sum(out.rgb) + jnp.sum(out.depth) + jnp.sum(out.normal)
             ) * 1e-6

@@ -567,3 +567,135 @@ class TestPrebinnedRender:
 
     def test_frozen_bins_gradients_match_plan(self, monkeypatch):
         self.test_frozen_bins_gradients_match(monkeypatch, plan_mode=True)
+
+
+class TestBf16:
+    """cfg.bf16_pairs approximation quality: the bf16 pair-math path must
+    track the f32 oracle to ~1e-2 in images and gradient DIRECTION (it is a
+    throughput mode — 2.1x VPU elementwise, scripts/microbench_bf16.py —
+    whose error budget sits far below the mapping loss's own noise)."""
+
+    CFG16 = RasterConfig(
+        sigma_extent=3.5,
+        max_dup=16,
+        entry_budget_mult=20.0,
+        interpret=True,
+        bf16_pairs=True,
+    )
+
+    def test_forward_tracks_f32_oracle(self):
+        attrs = make_attrs(96, seed=1)
+        cam = make_camera()
+        shape = (64, 64)
+        ref = render_dense(attrs, cam, shape, CFG)  # f32 dense oracle
+        out, _ = render_view(attrs, cam, shape, self.CFG16)
+        np.testing.assert_allclose(
+            np.asarray(out.rgb), np.asarray(ref["rgb"]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.opacity), np.asarray(ref["opacity"]), atol=3e-2
+        )
+        # depth chain stays f32; only alpha/transmittance quantization leaks
+        # into the weights
+        d = np.asarray(out.depth)
+        dr = np.asarray(ref["depth"])
+        mask = np.asarray(ref["opacity"])[0] > 0.3
+        assert np.abs(d - dr)[0][mask].max() < 5e-2
+
+    def test_grads_track_f32(self):
+        attrs = make_attrs(48, seed=7)
+        cam = make_camera()
+        shape = (64, 64)
+        key = jax.random.PRNGKey(0)
+
+        def loss(cfg):
+            def f(means):
+                a = GaussianAttrs(
+                    **{
+                        **{k: getattr(attrs, k) for k in attrs.__dataclass_fields__},
+                        "means": means,
+                    }
+                )
+                return _loss_fn(lambda a_: render_view(a_, cam, shape, cfg), a, key)
+
+            return f
+
+        g16 = np.asarray(jax.grad(loss(self.CFG16))(attrs.means))
+        g32 = np.asarray(jax.grad(loss(CFG))(attrs.means))
+        scale = np.abs(g32).max() + 1e-8
+        # bulk of the gradient must track closely; isolated elements may see
+        # ~10% bf16 quantization spikes (harmless under Adam — the
+        # convergence test below is the real gate)
+        err = np.abs(g16 - g32) / scale
+        assert np.quantile(err, 0.98) < 3e-2
+        assert err.max() < 0.25
+        # direction must be essentially preserved
+        cos = np.sum(g16 * g32) / (
+            np.linalg.norm(g16) * np.linalg.norm(g32) + 1e-12
+        )
+        assert cos > 0.995
+
+    def test_training_converges_like_f32(self):
+        """PSNR after a fixed number of Adam steps must match the f32 path
+        (the VERDICT-sanctioned gate for the throughput mode)."""
+        import dataclasses
+
+        from activegs_tpu.mapping import gaussians as gm
+        from activegs_tpu.mapping import keyframes as kf
+        from activegs_tpu.mapping import trainer
+
+        res = 32
+        cfg = gm.MapConfig(
+            capacity=128, batch_size=2, optimization_steps=12, active_size=2
+        )
+        rng = np.random.default_rng(3)
+        target_attrs = make_attrs(48, seed=11, z_range=(1.5, 2.5))
+        cam = make_camera()
+        ref = render_dense(target_attrs, cam, (res, res), CFG)
+
+        def run(raster_cfg):
+            state = gm.init_state(cfg)
+            # perturbed init: same surfels, jittered means/colors
+            state = dataclasses.replace(
+                state,
+                means=state.means.at[:48].set(
+                    target_attrs.means
+                    + jnp.asarray(rng.normal(0, 0.01, (48, 3)).astype(np.float32))
+                ),
+                rotations_raw=state.rotations_raw.at[:48].set(
+                    target_attrs.rotations
+                ),
+                scales_raw=state.scales_raw.at[:48].set(
+                    jnp.log(
+                        jnp.maximum(target_attrs.scales / cfg.scale_factor, 1e-8)
+                    )
+                ),
+                opacities_raw=state.opacities_raw.at[:48].set(2.0),
+                colors=state.colors.at[:48].set(
+                    jnp.clip(target_attrs.colors + 0.1, 0, 1)
+                ),
+                count=jnp.int32(48),
+            )
+            buf = kf.init_buffer(4, res, res)
+            frame = {
+                "rgb": ref["rgb"],
+                "depth": ref["depth"],
+                "extrinsic": cam.extrinsic,
+                "intrinsic": cam.intrinsic,
+                "depth_range": jnp.asarray([0.0, 5.0]),
+            }
+            buf = kf.add_frame(buf, frame)
+            buf = kf.add_frame(buf, frame)
+            state, buf, loss, _ = trainer.train_keyframe(
+                state, buf, jax.random.PRNGKey(0), cfg, raster_cfg, sampler="uniform"
+            )
+            out, _ = render_view(
+                gm.attrs_of(state, cfg), cam, (res, res), CFG
+            )
+            mse = float(jnp.mean((out.rgb - ref["rgb"]) ** 2))
+            return -10.0 * np.log10(mse + 1e-10)
+
+        psnr32 = run(CFG)
+        psnr16 = run(self.CFG16)
+        # bf16 training must land within half a dB of f32
+        assert psnr16 > psnr32 - 0.5, (psnr16, psnr32)
