@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.image_ops import depth_to_normal
-from ..render.renderer import render_stats, render_views
+from ..render.renderer import render_stats
 from ..render.types import Camera, RasterConfig
 from . import gaussians as gm
 from . import keyframes as kf
@@ -57,6 +57,26 @@ def make_optimizer(cfg: gm.MapConfig) -> optax.GradientTransformation:
     return optax.chain(optax.scale_by_adam(eps=1e-15), group_lr, optax.scale(-1.0))
 
 
+def _view_loss(o, rgb_gt, depth_gt, intrinsic):
+    """Scalar loss terms for ONE view (the per-view decomposition of the
+    4-term total, `gaussian_map.py:106-124`): every term of the batched loss
+    is a mean over equally-sized views, so computing per-view means inside
+    the render map and averaging them afterwards is numerically the same
+    reduction — and the (V, 9, H, W) image stack (plus its backward
+    dynamic-slice/update ops, ~4 ms/step on the bench trace) never
+    materializes. Returns (rgb_l1, depth_l1, consistency, normal_tv)."""
+    mask_vis = jax.lax.stop_gradient(o.opacity) > 1e-3
+    mask_depth = depth_gt > 0.0
+    rgb_l1 = jnp.mean(losses.l1_masked(o.rgb, rgb_gt, mask_vis))
+    depth_l1 = jnp.mean(losses.l1_masked(o.depth, depth_gt, mask_depth))
+    d2n = depth_to_normal(o.depth[0], mask_vis[0], intrinsic).transpose(2, 0, 1)
+    cons = jnp.mean((1.0 - jnp.sum(o.normal * d2n, axis=0)) * mask_vis[0])
+    tv = losses.normal_tv_loss(
+        o.normal[None], jax.lax.stop_gradient(o.depth)[None], mask_depth[None]
+    )
+    return rgb_l1, depth_l1, cons, tv
+
+
 def batch_loss(
     params: dict,
     state: gm.GaussianMapState,
@@ -76,83 +96,110 @@ def batch_loss(
     renders its compacted in-view gaussian bucket — exact under frozen bins
     and much cheaper in per-index work (entry gather / VJP / binning all
     scale with the bucket instead of the capacity).
+
+    The loss is evaluated PER VIEW inside the render map (`_view_loss`) so
+    only four scalars per view leave the loop.
     """
     rgb_gt, depth_gt, extrinsics, intrinsics = batch
     v, _, h, w = rgb_gt.shape
     state = _with_params(state, params)
     attrs = gm.attrs_of(state, cfg)
+    from ..render.renderer import (
+        pack_attrs,
+        render_view,
+        subset_packed_batch,
+        subset_view,
+        unpack_attrs,
+    )
+
+    background = jnp.asarray(cfg.background)
+
     if subsets is not None and len(subsets) == 4:
         # batched subset: ONE gather for all views' compact buckets, and the
         # VJP combines all views' cotangents with the per-keyframe sort plan
         # (V*B + N gather indices per step instead of V*N — see
         # renderer.subset_packed_batch)
-        from ..render.renderer import pack_attrs, render_view, subset_packed_batch, unpack_attrs
-
         sels, selvs, _invs, plan = subsets
         stacked = subset_packed_batch(pack_attrs(attrs), sels, selvs, plan)
 
         def one(args):
-            ext, intr, b, rows = args
+            ext, intr, b, rows, rgb_v, depth_v = args
             o, _aux = render_view(
                 unpack_attrs(rows),
                 Camera(extrinsic=ext, intrinsic=intr),
                 (h, w),
                 raster_cfg,
-                background=jnp.asarray(cfg.background),
+                background=background,
                 bin_result=b,
             )
-            return o
+            return _view_loss(o, rgb_v, depth_v, intr)
 
-        out = jax.lax.map(one, (extrinsics, intrinsics, bins, stacked))
+        terms = jax.lax.map(
+            one, (extrinsics, intrinsics, bins, stacked, rgb_gt, depth_gt)
+        )
     elif subsets is not None:
-        from ..render.renderer import pack_attrs, render_view, subset_view
-
         packed = pack_attrs(attrs)
         sels, selvs, invs = subsets
 
         def one(args):
-            ext, intr, b, sel, selv, inv = args
+            ext, intr, b, sel, selv, inv, rgb_v, depth_v = args
             attrs_v = subset_view(packed, (sel, selv, inv))
             o, _aux = render_view(
                 attrs_v,
                 Camera(extrinsic=ext, intrinsic=intr),
                 (h, w),
                 raster_cfg,
-                background=jnp.asarray(cfg.background),
+                background=background,
                 bin_result=b,
             )
-            return o
+            return _view_loss(o, rgb_v, depth_v, intr)
 
-        out = jax.lax.map(
-            one, (extrinsics, intrinsics, bins, sels, selvs, invs)
+        terms = jax.lax.map(
+            one,
+            (extrinsics, intrinsics, bins, sels, selvs, invs, rgb_gt, depth_gt),
         )
     else:
-        out, _ = render_views(
-            attrs,
-            extrinsics,
-            intrinsics,
-            (h, w),
-            raster_cfg,
-            background=jnp.asarray(cfg.background),
-            bins=bins,
-        )
 
-    mask_vis = jax.lax.stop_gradient(out.opacity) > 1e-3
-    mask_depth = depth_gt > 0.0
+        def one_full(args):
+            ext, intr, b, rgb_v, depth_v = args
+            o, _aux = render_view(
+                attrs,
+                Camera(extrinsic=ext, intrinsic=intr),
+                (h, w),
+                raster_cfg,
+                background=background,
+                bin_result=b,
+            )
+            return _view_loss(o, rgb_v, depth_v, intr)
 
-    rgb_l1 = losses.l1_masked(out.rgb, rgb_gt, mask_vis)
-    depth_l1 = losses.l1_masked(out.depth, depth_gt, mask_depth)
+        def one_full_nobin(args):
+            ext, intr, rgb_v, depth_v = args
+            o, _aux = render_view(
+                attrs,
+                Camera(extrinsic=ext, intrinsic=intr),
+                (h, w),
+                raster_cfg,
+                background=background,
+            )
+            return _view_loss(o, rgb_v, depth_v, intr)
 
-    d2n = jax.vmap(depth_to_normal)(
-        out.depth[:, 0], mask_vis[:, 0], intrinsics
-    ).transpose(0, 3, 1, 2)
-    cons = losses.consistency_loss(out.normal, d2n)
-    tv = losses.normal_tv_loss(
-        out.normal, jax.lax.stop_gradient(out.depth), mask_depth
+        if bins is None:
+            terms = jax.lax.map(
+                one_full_nobin, (extrinsics, intrinsics, rgb_gt, depth_gt)
+            )
+        else:
+            terms = jax.lax.map(
+                one_full, (extrinsics, intrinsics, bins, rgb_gt, depth_gt)
+            )
+
+    rgb_t, depth_t, cons_t, tv_t = terms
+    total = (
+        jnp.mean(rgb_t)
+        + 0.8 * jnp.mean(depth_t)
+        + 0.1 * jnp.mean(cons_t)
+        + 0.1 * jnp.mean(tv_t)
     )
-    total = losses.total_mapping_loss(rgb_l1, depth_l1, cons, tv, mask_vis[:, 0])
-
-    per_frame = jnp.mean(rgb_l1, axis=(1, 2, 3)) + jnp.mean(depth_l1, axis=(1, 2, 3))
+    per_frame = rgb_t + depth_t
     return total, jax.lax.stop_gradient(per_frame)
 
 

@@ -98,13 +98,29 @@ def prepare_view_bins(
     )
 
 
+def fast_gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather through a uint16 bitcast — bit-exact and ~4x faster.
+
+    XLA TPU's gather cost scales with the ELEMENT type, not bytes per row:
+    gathering the same 64-byte rows as (N, 2C) uint16 instead of (N, C)
+    float32 measured 0.68 ms vs 2.77 ms at 262k indices (u8 is faster still
+    but the back-cast erases the margin). The two bitcasts are exact
+    reinterpretations, so results are bitwise identical to `x[idx, :]`."""
+    n, c = x.shape
+    if x.dtype.itemsize != 4:
+        return x[idx, :]
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, 2 * c)
+    g = xb[idx, :]
+    return jax.lax.bitcast_convert_type(g.reshape(idx.shape[0], c, 2), x.dtype)
+
+
 @jax.custom_vjp
 def _gather_entries_inv(params2d, gid_clipped, mask, inv_pos):
     # row gather from (N, PARAM_DIM) — XLA's fast layout for per-index row
     # copies — then one cheap relayout to the kernels' (PARAM_DIM, E)
     # column-major contract (Mosaic requires 128-aligned lane slices, so the
     # kernels cannot take (K, 24) HBM blocks directly)
-    return jnp.where(mask, params2d[gid_clipped, :], 0.0).T
+    return jnp.where(mask, fast_gather_rows(params2d, gid_clipped), 0.0).T
 
 
 def _gather_entries_inv_fwd(params2d, gid_clipped, mask, inv_pos):
@@ -125,7 +141,7 @@ def _gather_entries_inv_bwd(res, g):
     n, max_dup = inv_pos.shape
     gt = g.T  # (E, PARAM_DIM)
     idx = inv_pos.T.reshape(-1)  # (max_dup*N,)
-    gj = jnp.where((idx >= 0)[:, None], gt[jnp.clip(idx, 0), :], 0.0)
+    gj = jnp.where((idx >= 0)[:, None], fast_gather_rows(gt, jnp.clip(idx, 0)), 0.0)
     d = jnp.sum(gj.reshape(max_dup, n, gt.shape[1]), axis=0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(gid_clipped), f0(mask), f0(inv_pos)
@@ -136,7 +152,7 @@ _gather_entries_inv.defvjp(_gather_entries_inv_fwd, _gather_entries_inv_bwd)
 
 @jax.custom_vjp
 def _gather_entries_plan(params2d, gid_clipped, mask, plan):
-    return jnp.where(mask, params2d[gid_clipped, :], 0.0).T
+    return jnp.where(mask, fast_gather_rows(params2d, gid_clipped), 0.0).T
 
 
 def _gather_entries_plan_fwd(params2d, gid_clipped, mask, plan):
@@ -157,13 +173,13 @@ def _gather_entries_plan_bwd(res, g):
     gid_clipped, mask, plan = res
     perm, masks, head = plan
     gt = g.T  # (E, PARAM_DIM)
-    s = gt[perm, :]
+    s = fast_gather_rows(gt, perm)
     jump = 1
     for m in masks:
         sh = jnp.concatenate([s[jump:], jnp.zeros((jump, s.shape[1]), s.dtype)], 0)
         s = s + jnp.where(m[:, None], sh, 0.0)
         jump *= 2
-    d = jnp.where((head >= 0)[:, None], s[jnp.clip(head, 0), :], 0.0)
+    d = jnp.where((head >= 0)[:, None], fast_gather_rows(s, jnp.clip(head, 0)), 0.0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(gid_clipped), f0(mask), jax.tree.map(f0, plan)
 
@@ -197,6 +213,9 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
         entries = _gather_entries_plan(params2d, gidc, mask, b.plan)
     else:
         # jnp.where (not multiply) so the VJP never touches garbage slots
+        # plain differentiable gather (NOT fast_gather_rows: its uint16
+        # bitcast has a zero tangent, and this fallback path relies on XLA
+        # autodiff to transpose the gather into a scatter-add)
         entries = jnp.where(mask, params2d[gidc, :], 0.0).T
     return entries, b, params2d, radius, in_view
 
@@ -249,7 +268,7 @@ def subset_packed(packed, sel_clip, sel_valid, inv_sel):
     """Row-gather packed attrs to a compact bucket; the VJP maps cotangents
     back with the precomputed inverse positions (a gather, never a
     scatter-add — XLA TPU scatter sorts its indices)."""
-    return jnp.where(sel_valid[:, None], packed[sel_clip, :], 0.0)
+    return jnp.where(sel_valid[:, None], fast_gather_rows(packed, sel_clip), 0.0)
 
 
 def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
@@ -262,7 +281,7 @@ def _subset_packed_fwd(packed, sel_clip, sel_valid, inv_sel):
 
 def _subset_packed_bwd(res, g):
     sel_clip, sel_valid, inv_sel = res
-    d = jnp.where((inv_sel >= 0)[:, None], g[jnp.clip(inv_sel, 0), :], 0.0)
+    d = jnp.where((inv_sel >= 0)[:, None], fast_gather_rows(g, jnp.clip(inv_sel, 0)), 0.0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(sel_clip), f0(sel_valid), f0(inv_sel)
 
@@ -327,7 +346,9 @@ def subset_packed_batch(packed, sels, selvs, plan):
     the precomputed sort plan (see build_combine_plan)."""
     v, b = sels.shape
     rows = jnp.where(
-        selvs.reshape(-1)[:, None], packed[jnp.clip(sels.reshape(-1), 0), :], 0.0
+        selvs.reshape(-1)[:, None],
+        fast_gather_rows(packed, jnp.clip(sels.reshape(-1), 0)),
+        0.0,
     )
     return rows.reshape(v, b, packed.shape[1])
 
@@ -341,7 +362,7 @@ def _spb_bwd(res, g):
     perm, masks, head = plan
     v, b = sels.shape
     flat = g.reshape(v * b, g.shape[-1])
-    s = flat[perm, :]
+    s = fast_gather_rows(flat, perm)
     jump = 1
     for m in masks:
         sh = jnp.concatenate(
@@ -349,7 +370,7 @@ def _spb_bwd(res, g):
         )
         s = s + jnp.where(m[:, None], sh, 0.0)
         jump *= 2
-    d = jnp.where((head >= 0)[:, None], s[jnp.clip(head, 0), :], 0.0)
+    d = jnp.where((head >= 0)[:, None], fast_gather_rows(s, jnp.clip(head, 0)), 0.0)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return d, f0(sels), f0(selvs), jax.tree.map(f0, plan)
 

@@ -80,12 +80,17 @@ def main():
     packed0 = pack_attrs(attrs0)
     cam0 = Camera(extrinsic=batch[2][0], intrinsic=batch[3][0])
 
+    _, max_ents = (
+        int(x) for x in trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)
+    )
+    eb = trainer.pick_entry_bucket(max_ents)
+
     @jax.jit
     def prep_one():
         _, _, _, iv = rp.preprocess(attrs0, cam0, (h, w), rcfg)
         sel, selv, inv, _ = compact_in_view(iv, sb)
         attrs_v = subset_view(packed0, (sel, selv, inv))
-        bins_v = prepare_view_bins(attrs_v, cam0, (h, w), rcfg)
+        bins_v = prepare_view_bins(attrs_v, cam0, (h, w), rcfg, entry_budget=eb)
         p2d, _, _, iv_v = rp.preprocess(attrs_v, cam0, (h, w), rcfg)
         return sel, selv, inv, bins_v, p2d
 
@@ -98,7 +103,7 @@ def main():
 
     # 1. composite kernel fwd
     entries0 = jnp.asarray(
-        jax.jit(lambda: _gather_entries_inv(p2d, gidc, emask, bv.plan))()
+        jax.jit(lambda: _gather_entries_inv(p2d, gidc, emask, bv.inv_pos))()
     )
     f = loop(lambda e, ent, ts, tl: cp.composite_tiled(ent + e, ts, tl, static))
     t = timed(f, entries0, bv.tile_start, bv.tile_len)
@@ -117,7 +122,7 @@ def main():
 
     # 3. entry gather fwd / fwd+bwd (p2d (B, 24) -> (24, E))
     t = timed(
-        loop(lambda e, p: _gather_entries_inv(p + e, gidc, emask, bv.plan)), p2d
+        loop(lambda e, p: _gather_entries_inv(p + e, gidc, emask, bv.inv_pos)), p2d
     )
     print(f"entry gather fwd:  {t:6.3f} ms/view")
 
@@ -126,7 +131,7 @@ def main():
         # cannot be constant-folded out of the timing loop
         return jax.grad(
             lambda x: jnp.sum(
-                jnp.square(_gather_entries_inv(x, gidc, emask, bv.plan))
+                jnp.square(_gather_entries_inv(x, gidc, emask, bv.inv_pos))
             )
             * 1e-6
         )(p + e)
@@ -160,6 +165,52 @@ def main():
 
     t = timed(loop(prevg), packed0)
     print(f"subset+preproc f+b:{t:6.3f} ms/view")
+
+    # 6. full render_view (frozen bins, subset path) fwd / fwd+bwd
+    from activegs_tpu.render.renderer import render_view
+
+    def rv(e, p):
+        a = subset_view(p + e, (sel, selv, inv))
+        o, _aux = render_view(
+            a, cam0, (h, w), rcfg,
+            background=jnp.asarray(cfg.background), bin_result=bv,
+        )
+        return o.rgb
+
+    t = timed(loop(rv), packed0)
+    print(f"render_view fwd:   {t:6.3f} ms/view")
+
+    def rvvg(e, p):
+        def f(x):
+            a = subset_view(x, (sel, selv, inv))
+            o, _aux = render_view(
+                a, cam0, (h, w), rcfg,
+                background=jnp.asarray(cfg.background), bin_result=bv,
+            )
+            return (
+                jnp.sum(o.rgb) + jnp.sum(o.depth) + jnp.sum(o.normal)
+            ) * 1e-6
+
+        return jax.grad(f)(p + e)
+
+    t = timed(loop(rvvg), packed0)
+    print(f"render_view f+b:   {t:6.3f} ms/view")
+
+    # 7. entries -> composite -> image pipeline (adds the gather + transposes
+    # around the raw kernel) fwd+bwd
+    from activegs_tpu.render.renderer import _tiles_to_image
+
+    def pipe(e, p2):
+        def f(x):
+            ent = _gather_entries_inv(x, gidc, emask, bv.inv_pos)
+            out_t = cp.composite_tiled(ent, bv.tile_start, bv.tile_len, static)
+            img = _tiles_to_image(out_t, (h, w), rcfg)
+            return jnp.sum(img[:9]) * 1e-6
+
+        return jax.grad(f)(p2 + e)
+
+    t = timed(loop(pipe), p2d)
+    print(f"gather+kern+img f+b:{t:6.3f} ms/view")
 
 
 if __name__ == "__main__":
