@@ -47,6 +47,10 @@ class MapConfig:
     batch_size: int = 8
     active_size: int = 3
     resample_per_step: bool = False  # True = reference per-step resampling
+    # Python-unroll the per-view train render loop: per-view backward
+    # residuals stay separate buffers (no dynamic_update_slice stacking,
+    # ~3 ms/step) at the cost of a larger one-time XLA compile per bucket
+    unroll_views: bool = True
     mean_lr: float = 5e-4
     rotation_lr: float = 5e-4
     opacity_lr: float = 1e-2

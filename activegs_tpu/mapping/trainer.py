@@ -114,6 +114,17 @@ def batch_loss(
 
     background = jnp.asarray(cfg.background)
 
+    def view_map(fn, xs):
+        """Map `fn` over the leading view axis. Unrolled as a Python loop
+        (cfg.unroll_views): each view's backward residuals (entry streams,
+        tile outputs) stay separate buffers instead of being stacked with
+        per-view dynamic_update_slice ops (~3 ms/step on the bench trace).
+        `lax.map` remains available for compile-time-sensitive paths."""
+        if not cfg.unroll_views:
+            return jax.lax.map(fn, xs)
+        outs = [fn(jax.tree.map(lambda x: x[i], xs)) for i in range(v)]
+        return jax.tree.map(lambda *ys: jnp.stack(ys), *outs)
+
     if subsets is not None and len(subsets) == 4:
         # batched subset: ONE gather for all views' compact buckets, and the
         # VJP combines all views' cotangents with the per-keyframe sort plan
@@ -134,7 +145,7 @@ def batch_loss(
             )
             return _view_loss(o, rgb_v, depth_v, intr)
 
-        terms = jax.lax.map(
+        terms = view_map(
             one, (extrinsics, intrinsics, bins, stacked, rgb_gt, depth_gt)
         )
     elif subsets is not None:
@@ -154,7 +165,7 @@ def batch_loss(
             )
             return _view_loss(o, rgb_v, depth_v, intr)
 
-        terms = jax.lax.map(
+        terms = view_map(
             one,
             (extrinsics, intrinsics, bins, sels, selvs, invs, rgb_gt, depth_gt),
         )
@@ -184,11 +195,11 @@ def batch_loss(
             return _view_loss(o, rgb_v, depth_v, intr)
 
         if bins is None:
-            terms = jax.lax.map(
+            terms = view_map(
                 one_full_nobin, (extrinsics, intrinsics, rgb_gt, depth_gt)
             )
         else:
-            terms = jax.lax.map(
+            terms = view_map(
                 one_full, (extrinsics, intrinsics, bins, rgb_gt, depth_gt)
             )
 
