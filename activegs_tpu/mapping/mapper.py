@@ -173,6 +173,21 @@ class IncrementalMapper:
         _mark("train")
         n_frames = int(self.keyframes.count)
         require_prune = n_frames % self.map_cfg.prune_interval == 0
+        # static stats subset bucket + entry budget measured over the exact
+        # keyframes post_process will render (front-only) — the stats path
+        # then scales with what those views see instead of the capacity
+        stats_iv, stats_ents = (
+            int(x)
+            for x in trainer.stats_view_budgets(
+                sub_state,
+                self.keyframes,
+                self.map_cfg,
+                self.raster_cfg,
+                require_prune=require_prune,
+            )
+        )
+        stats_bucket = trainer.pick_subset_bucket(stats_iv, cap_b)
+        stats_entry_budget = trainer.pick_entry_bucket(stats_ents)
         sub_state, n_pruned = trainer.post_process(
             sub_state,
             self.keyframes,
@@ -180,6 +195,8 @@ class IncrementalMapper:
             self.map_cfg,
             self.raster_cfg,
             require_prune=require_prune,
+            stats_bucket=stats_bucket,
+            stats_entry_budget=stats_entry_budget,
         )
         n_pruned = int(n_pruned)
         _mark("post")

@@ -455,7 +455,63 @@ def train_keyframe(
     return _with_params(state, params), buf, last_loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg", "require_prune"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "raster_cfg", "require_prune")
+)
+def stats_view_budgets(
+    state: gm.GaussianMapState,
+    buf: kf.KeyframeBuffer,
+    cfg: gm.MapConfig,
+    raster_cfg: RasterConfig,
+    require_prune: bool,
+):
+    """(max front-facing in-view count, max binned entry count) over the
+    keyframes `post_process` will stats-render (the latest one, or ALL of
+    them on prune keyframes) — read on the host to pick the static stats
+    subset bucket / entry budget. Cheap: preprocess + span sums, no sort."""
+    from ..render import binning as rb
+    from ..render import preprocess as rp
+    from ..render.types import P_EXT_X, P_EXT_Y
+
+    h, w = buf.rgb.shape[-2:]
+    attrs0 = gm.attrs_of(state, cfg)
+
+    def one(i):
+        _, _, ext, intr = kf.decode_frames(buf, i[None])
+        p2d, _, _, iv = rp.preprocess(
+            attrs0,
+            Camera(extrinsic=ext[0], intrinsic=intr[0]),
+            (h, w),
+            raster_cfg,
+            front_only=True,
+        )
+        _, _, sw, sh, _ = rb.tile_spans(
+            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
+            (h, w), raster_cfg,
+        )
+        return jnp.sum(iv.astype(jnp.int32)), jnp.sum(jnp.where(iv, sw * sh, 0))
+
+    if not require_prune:
+        return one(jnp.maximum(buf.count - 1, 0))
+
+    def body(i, carry):
+        mx_iv, mx_e = carry
+        iv, e = one(i)
+        return jnp.maximum(mx_iv, iv), jnp.maximum(mx_e, e)
+
+    return jax.lax.fori_loop(0, buf.count, body, (jnp.int32(0), jnp.int32(0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "raster_cfg",
+        "require_prune",
+        "stats_bucket",
+        "stats_entry_budget",
+    ),
+)
 def post_process(
     state: gm.GaussianMapState,
     buf: kf.KeyframeBuffer,
@@ -463,13 +519,20 @@ def post_process(
     cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
     require_prune: bool,
+    stats_bucket: int | None = None,
+    stats_entry_budget: int | None = None,
 ):
     """Confidence statistics + periodic pruning (`post_processing`,
     `gaussian_map.py:141-246`): stats-render the latest keyframe
     (front-only, render_mask = depth>0) to find visible gaussians, update
     Welford view statistics; every `prune_interval` keyframes, accumulate
     visibility over ALL keyframes and prune never-visible or transparent
-    gaussians. Returns (state, n_pruned)."""
+    gaussians. Returns (state, n_pruned).
+
+    `stats_bucket`/`stats_entry_budget` (static, from `stats_view_budgets`)
+    compact each stats render to its in-view subset and bound its entry
+    stream — exact, and the per-index/zero-fill costs scale with what the
+    keyframes see instead of the capacity bucket."""
     attrs = gm.attrs_of(state, cfg)
     latest = jnp.maximum(buf.count - 1, 0)
     h, w = buf.rgb.shape[-2:]
@@ -479,7 +542,14 @@ def post_process(
         cam = Camera(extrinsic=ext[0], intrinsic=intr[0])
         mask = (depth[0, 0] > 0.0).astype(jnp.float32)
         return render_stats(
-            attrs, cam, (h, w), raster_cfg, render_mask=mask, front_only=True
+            attrs,
+            cam,
+            (h, w),
+            raster_cfg,
+            render_mask=mask,
+            front_only=True,
+            subset_bucket=stats_bucket,
+            entry_budget=stats_entry_budget,
         )
 
     _, cnt_latest = stats_for(latest)

@@ -150,6 +150,7 @@ def sharded_candidate_utility(
     shape: tuple[int, int],
     map_cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
+    entry_budget: int | None = None,
 ):
     """Planner candidate utilities sharded over devices: computes the SAME
     (explore, exploit) statistics as
@@ -178,6 +179,7 @@ def sharded_candidate_utility(
                 Camera(extrinsic=extrinsic, intrinsic=intrinsic),
                 shape,
                 raster_cfg,
+                entry_budget=entry_budget,
             )
             depth = out.depth[0]
             conf = out.confidence[0]

@@ -24,7 +24,38 @@ from .planner import PlanBase
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "shape", "map_cfg", "raster_cfg")
+    jax.jit, static_argnames=("shape", "map_cfg", "raster_cfg")
+)
+def _candidate_entry_stats(
+    gm_state, candidates, intrinsic, shape, map_cfg, raster_cfg
+):
+    """Max binned entry count over the candidate views (preprocess + span
+    sums, no sort) — read on the host to pick the static utility-render
+    entry budget so the 100-candidate batch never bins at the
+    `entry_budget_mult * capacity` default."""
+    from ..render import binning as rb
+    from ..render import preprocess as rp
+    from ..render.types import P_EXT_X, P_EXT_Y
+
+    attrs = gm.attrs_of(gm_state, map_cfg)
+    h, w = shape
+
+    def one(ext):
+        p2d, _, _, iv = rp.preprocess(
+            attrs, Camera(extrinsic=ext, intrinsic=intrinsic), (h, w), raster_cfg
+        )
+        _, _, sw, sh, _ = rb.tile_spans(
+            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
+            (h, w), raster_cfg,
+        )
+        return jnp.sum(jnp.where(iv, sw * sh, 0))
+
+    return jnp.max(jax.lax.map(one, candidates))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "shape", "map_cfg", "raster_cfg", "entry_budget"),
 )
 def _confidence_utility_batch(
     gm_state,
@@ -37,6 +68,7 @@ def _confidence_utility_batch(
     shape,
     map_cfg,
     raster_cfg,
+    entry_budget=None,
 ):
     """Per-candidate (explore, exploit) utilities (`confidence.py:44-103`)."""
     attrs = gm.attrs_of(gm_state, map_cfg)
@@ -46,7 +78,11 @@ def _confidence_utility_batch(
     def one(args):
         extrinsic, valid = args
         out, _ = render_view(
-            attrs, Camera(extrinsic=extrinsic, intrinsic=intrinsic), shape, raster_cfg
+            attrs,
+            Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+            shape,
+            raster_cfg,
+            entry_budget=entry_budget,
         )
         depth = out.depth[0]
         conf = out.confidence[0]
@@ -83,6 +119,19 @@ class ConfidencePlanner(PlanBase):
             candidates, simulator, (h, w)
         )
         t0 = time.time()
+        from ..mapping.trainer import pick_entry_bucket
+
+        max_ents = int(
+            _candidate_entry_stats(
+                gm_state,
+                jnp.asarray(candidates),
+                jnp.asarray(simulator.intrinsic),
+                (h, w),
+                self.map_cfg,
+                self.utility_raster_cfg,
+            )
+        )
+        entry_budget = pick_entry_bucket(max_ents)
         if self.mesh is not None:
             from ..parallel.sharded import sharded_candidate_utility
 
@@ -103,6 +152,7 @@ class ConfidencePlanner(PlanBase):
                 (h, w),
                 self.map_cfg,
                 self.utility_raster_cfg,
+                entry_budget=entry_budget,
             )
             explore, exploit = explore[:n], exploit[:n]
         else:
@@ -117,6 +167,7 @@ class ConfidencePlanner(PlanBase):
                 (h, w),
                 self.map_cfg,
                 self.utility_raster_cfg,
+                entry_budget=entry_budget,
             )
         utility = self.cfg.explore_weight * np.asarray(explore) + np.asarray(exploit)
         return utility, time.time() - t0

@@ -98,16 +98,23 @@ def prepare_view_bins(
     )
 
 
-def fast_gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather through a uint16 bitcast — bit-exact and ~4x faster.
+# XLA TPU's gather fast path falls off a cliff by source ROW COUNT per
+# dtype: f32 sources measured 0.38 ms at (200000, 16) but 2.56 ms at
+# (245760, 16) for the same 262k indices; uint16 rows of the same bytes
+# stay on the fast path at 2x the rows. Below the cliff the plain f32
+# gather is FASTER than the bitcast round-trip (0.05 vs 0.42 ms at
+# (130560, 24)), so the uint16 detour only pays above it.
+_U16_GATHER_MIN_ROWS = 200_001
 
-    XLA TPU's gather cost scales with the ELEMENT type, not bytes per row:
-    gathering the same 64-byte rows as (N, 2C) uint16 instead of (N, C)
-    float32 measured 0.68 ms vs 2.77 ms at 262k indices (u8 is faster still
-    but the back-cast erases the margin). The two bitcasts are exact
-    reinterpretations, so results are bitwise identical to `x[idx, :]`."""
+
+def fast_gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather `x[idx, :]`, routed through a uint16 bitcast when the
+    source is past the f32 fast-path row cliff (see above) — the bitcasts
+    are exact reinterpretations, so results are bitwise identical either
+    way. NOT differentiable through XLA autodiff (bitcast has a zero
+    tangent): use only inside custom_vjp forwards/backwards."""
     n, c = x.shape
-    if x.dtype.itemsize != 4:
+    if x.dtype.itemsize != 4 or n < _U16_GATHER_MIN_ROWS:
         return x[idx, :]
     xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, 2 * c)
     g = xb[idx, :]
@@ -187,7 +194,9 @@ def _gather_entries_plan_bwd(res, g):
 _gather_entries_plan.defvjp(_gather_entries_plan_fwd, _gather_entries_plan_bwd)
 
 
-def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=None):
+def _prepare_entries(
+    attrs, camera, image_shape, cfg, front_only, bin_result=None, entry_budget=None
+):
     params2d, radius, depth_z, in_view = pp.preprocess(
         attrs, camera, image_shape, cfg, front_only=front_only
     )
@@ -202,6 +211,7 @@ def _prepare_entries(attrs, camera, image_shape, cfg, front_only, bin_result=Non
             in_view,
             image_shape,
             cfg,
+            entry_budget=entry_budget,
         )
     else:
         b = bin_result
@@ -413,19 +423,21 @@ def render_view(
     front_only: bool = False,
     background: Optional[jnp.ndarray] = None,
     bin_result: Optional[binning.BinResult] = None,
+    entry_budget: int | None = None,
 ):
     """Render one view. Returns (RenderOutput, aux dict).
 
     aux carries `in_view` (the `radii > 0` frustum mask,
     `utils/operations.py:815`), `radius`, `transmittance` and the binning
     drop counter. Pass `bin_result` (from prepare_view_bins) to reuse
-    frozen tile lists across optimization steps.
+    frozen tile lists across optimization steps; `entry_budget` (static)
+    sizes the binned entry stream when binning inline.
     """
     h, w = image_shape
     ntx, nty = _tile_grid(image_shape, cfg)
     num_tiles = ntx * nty
     entries, b, _, radius, in_view = _prepare_entries(
-        attrs, camera, image_shape, cfg, front_only, bin_result
+        attrs, camera, image_shape, cfg, front_only, bin_result, entry_budget
     )
     static = (num_tiles, ntx, cfg)
     out_tiles = cp.composite_tiled(entries, b.tile_start, b.tile_len, static)
@@ -518,16 +530,50 @@ def render_stats(
     render_mask: Optional[jnp.ndarray] = None,
     weight_thres: float = 0.03,
     front_only: bool = True,
+    subset_bucket: int | None = None,
+    entry_budget: int | None = None,
 ):
     """Per-gaussian visibility stats for one view: (importance (N,),
     count (N,)). The analog of the rasterizer's `importance`/`count` outputs
     consumed by confidence update and pruning (`gaussian_map.py:171-232`);
     `render_mask` plays the role of the `render_mask=depth_gt>0` setting
-    (`gaussian_map.py:191`)."""
+    (`gaussian_map.py:191`).
+
+    `subset_bucket` (static) compacts the view's in-view gaussians before
+    binning — EXACT (out-of-view gaussians have zero importance/count either
+    way, and compaction preserves the depth tie-break order) and every
+    per-index cost then scales with the bucket; `entry_budget` (static,
+    measured per call site via `trainer.stats_view_budgets`) bounds the
+    binned entry stream, which also bounds the stats kernel's zero-fill."""
+    if subset_bucket is not None and subset_bucket < attrs.num:
+        _, _, _, iv = pp.preprocess(
+            attrs, camera, image_shape, cfg, front_only=front_only
+        )
+        sel, selv, inv, _n = compact_in_view(iv, subset_bucket)
+        attrs_s = unpack_attrs(
+            jnp.where(selv[:, None], fast_gather_rows(pack_attrs(attrs), sel), 0.0)
+        )
+        imp_s, cnt_s = render_stats(
+            attrs_s,
+            camera,
+            image_shape,
+            cfg,
+            render_mask=render_mask,
+            weight_thres=weight_thres,
+            front_only=front_only,
+            entry_budget=entry_budget,
+        )
+        present = inv >= 0
+        inv_c = jnp.clip(inv, 0)
+        imp = jnp.where(present, imp_s[inv_c], 0.0)
+        cnt = jnp.where(present, cnt_s[inv_c], 0)
+        return imp, cnt
     h, w = image_shape
     ntx, nty = _tile_grid(image_shape, cfg)
     num_tiles = ntx * nty
-    entries, b, _, _, _ = _prepare_entries(attrs, camera, image_shape, cfg, front_only)
+    entries, b, _, _, _ = _prepare_entries(
+        attrs, camera, image_shape, cfg, front_only, entry_budget=entry_budget
+    )
     entries = jax.lax.stop_gradient(entries)
     if render_mask is None:
         render_mask = jnp.ones((h, w), jnp.float32)

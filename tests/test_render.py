@@ -425,6 +425,37 @@ class TestStats:
         )
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref["count"]))
 
+    def test_subset_stats_exact(self):
+        """render_stats with a subset bucket + entry budget must equal the
+        full-capacity stats bitwise (post_process prune correctness)."""
+        import dataclasses
+
+        attrs = make_attrs(64, seed=11)
+        # push half behind the camera so the 32-bucket provably covers the
+        # front-facing in-view set (exactness requires zero subset drops)
+        means = np.array(attrs.means)
+        means[32:, 2] = -10.0
+        attrs = dataclasses.replace(attrs, means=jnp.asarray(means))
+        cam = make_camera()
+        shape = (64, 64)
+        rng = np.random.default_rng(0)
+        mask = jnp.asarray((rng.uniform(size=shape) > 0.3).astype(np.float32))
+        imp_f, cnt_f = render_stats(
+            attrs, cam, shape, CFG, render_mask=mask, front_only=True
+        )
+        imp_s, cnt_s = render_stats(
+            attrs,
+            cam,
+            shape,
+            CFG,
+            render_mask=mask,
+            front_only=True,
+            subset_bucket=32,
+            entry_budget=4096,
+        )
+        np.testing.assert_allclose(np.asarray(imp_s), np.asarray(imp_f), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_f))
+
 
 class TestGolden:
     """Committed golden fixtures (scripts/gen_golden_fixtures.py): the tiled
