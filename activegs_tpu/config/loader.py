@@ -126,6 +126,7 @@ def build_components(cfg: ConfigNode):
         opacity_lr=g.optimizer.opacity_lr,
         scale_lr=g.optimizer.scale_lr,
         harmonic_lr=g.optimizer.harmonic_lr,
+        unroll_views=g.get("unroll_views", True),
     )
     v = cfg.mapper.voxel_map
     voxel_cfg = VoxelConfig(

@@ -49,8 +49,11 @@ class MapConfig:
     resample_per_step: bool = False  # True = reference per-step resampling
     # Python-unroll the per-view train render loop: per-view backward
     # residuals stay separate buffers (no dynamic_update_slice stacking,
-    # ~3 ms/step) at the cost of a larger one-time XLA compile per bucket
-    unroll_views: bool = True
+    # ~3 ms/step) at the cost of a larger one-time XLA compile per bucket.
+    # Default False so the CPU interpret-mode test suite stays fast; the
+    # config loader and bench turn it ON for production (one parity test
+    # covers the unrolled structure on CPU).
+    unroll_views: bool = False
     mean_lr: float = 5e-4
     rotation_lr: float = 5e-4
     opacity_lr: float = 1e-2

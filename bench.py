@@ -228,7 +228,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     batch = 8
 
-    cfg = gm.MapConfig(capacity=1 << 19, batch_size=batch, optimization_steps=steps)
+    cfg = gm.MapConfig(
+        capacity=1 << 19,
+        batch_size=batch,
+        optimization_steps=steps,
+        unroll_views=True,
+    )
     raster_cfg = RasterConfig(bf16_pairs=bool(os.environ.get("BENCH_BF16")))
 
     import dataclasses

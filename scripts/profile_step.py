@@ -64,7 +64,7 @@ def loop(fn, n=ITERS):
 
 def main():
     res = 512
-    cfg = gm.MapConfig(capacity=1 << 19, batch_size=8, optimization_steps=10)
+    cfg = gm.MapConfig(capacity=1 << 19, batch_size=8, optimization_steps=10, unroll_views=True)
     raster_cfg = RasterConfig()
     state, buf = B.build_scene(res, 200_000, cfg)
     cap_b = gm.bucket_capacity(200_000, cfg.capacity)

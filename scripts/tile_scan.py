@@ -40,7 +40,7 @@ def main():
     res = int(os.environ.get("BENCH_RES", 512))
     n_gauss = int(os.environ.get("BENCH_GAUSSIANS", 200_000))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    cfg = gm.MapConfig(capacity=1 << 19, batch_size=8, optimization_steps=steps)
+    cfg = gm.MapConfig(capacity=1 << 19, batch_size=8, optimization_steps=steps, unroll_views=True)
     state0, buf = B.build_scene(res, n_gauss, cfg)
     cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
     state0 = gm.slice_state(state0, cap_b)

@@ -421,6 +421,23 @@ class TestSubsetTraining:
             scale = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a / scale, b / scale, atol=1e-5, err_msg=f)
 
+    def test_train_unrolled_matches_map(self):
+        """cfg.unroll_views (the production default via the config loader)
+        must reproduce the lax.map trajectory."""
+        cfg, raster, state, buf = self._setup()
+        key = jax.random.PRNGKey(11)
+        s_map, _, loss_map, _ = trainer.train_keyframe(
+            state, buf, key, cfg, raster, subset_bucket=128
+        )
+        cfg_u = dataclasses.replace(cfg, unroll_views=True)
+        s_unr, _, loss_unr, _ = trainer.train_keyframe(
+            state, buf, key, cfg_u, raster, subset_bucket=128
+        )
+        assert float(loss_unr) == pytest.approx(float(loss_map), rel=1e-5)
+        a, b = np.asarray(s_unr.means), np.asarray(s_map.means)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
     def test_train_subset_sharded_matches_full(self):
         cfg, raster, state, buf = self._setup()
         from activegs_tpu.parallel import make_view_mesh
