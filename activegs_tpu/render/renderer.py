@@ -101,24 +101,31 @@ def prepare_view_bins(
 # XLA TPU's gather fast path falls off a cliff by source ROW COUNT per
 # dtype: f32 sources measured 0.38 ms at (200000, 16) but 2.56 ms at
 # (245760, 16) for the same 262k indices; uint16 rows of the same bytes
-# stay on the fast path at 2x the rows. Below the cliff the plain f32
-# gather is FASTER than the bitcast round-trip (0.05 vs 0.42 ms at
-# (130560, 24)), so the uint16 detour only pays above it.
+# stay on the fast path to 2x the rows (0.66 ms at 262144 but 3.15 ms at
+# 524288), and uint8 to 4x (1.60 ms at 524288). Below each cliff the
+# narrower detour only adds bitcast relayout cost (plain f32 is 0.05 ms
+# at (130560, 24) where u16 is 0.42), so pick the widest element type
+# whose cliff the source clears.
 _U16_GATHER_MIN_ROWS = 200_001
+_U8_GATHER_MIN_ROWS = 2 * _U16_GATHER_MIN_ROWS
 
 
 def fast_gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather `x[idx, :]`, routed through a uint16 bitcast when the
-    source is past the f32 fast-path row cliff (see above) — the bitcasts
-    are exact reinterpretations, so results are bitwise identical either
-    way. NOT differentiable through XLA autodiff (bitcast has a zero
-    tangent): use only inside custom_vjp forwards/backwards."""
+    """Row gather `x[idx, :]`, routed through a uint16/uint8 bitcast when
+    the source is past the per-dtype fast-path row cliffs (see above) —
+    the bitcasts are exact reinterpretations, so results are bitwise
+    identical either way. NOT differentiable through XLA autodiff (bitcast
+    has a zero tangent): use only inside custom_vjp forwards/backwards."""
     n, c = x.shape
     if x.dtype.itemsize != 4 or n < _U16_GATHER_MIN_ROWS:
         return x[idx, :]
-    xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, 2 * c)
+    if n < _U8_GATHER_MIN_ROWS:
+        xb = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, 2 * c)
+        g = xb[idx, :]
+        return jax.lax.bitcast_convert_type(g.reshape(idx.shape[0], c, 2), x.dtype)
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(n, 4 * c)
     g = xb[idx, :]
-    return jax.lax.bitcast_convert_type(g.reshape(idx.shape[0], c, 2), x.dtype)
+    return jax.lax.bitcast_convert_type(g.reshape(idx.shape[0], c, 4), x.dtype)
 
 
 @jax.custom_vjp
