@@ -72,10 +72,20 @@ def opacity_loss(opacities: jnp.ndarray, confidences: jnp.ndarray) -> jnp.ndarra
     return jnp.mean((1.0 - confidences) * opacities)
 
 
-def total_mapping_loss(rgb_l1_map, depth_l1_map, cons_map, tv_loss, vis_mask):
-    """The 4-term total of `gaussian_map.py:119-124`:
-    rgb + 0.8 depth + 0.1 consistency + 0.1 normal-TV."""
-    rgb_loss = jnp.mean(rgb_l1_map)
-    depth_loss = jnp.mean(depth_l1_map)
-    cons = jnp.mean(cons_map * vis_mask)
-    return rgb_loss + 0.8 * depth_loss + 0.1 * cons + 0.1 * tv_loss
+# 4-term total weights (`gaussian_map.py:119-124`):
+# rgb + 0.8 depth + 0.1 consistency + 0.1 normal-TV
+W_DEPTH = 0.8
+W_CONS = 0.1
+W_TV = 0.1
+
+
+def total_from_view_terms(rgb_t, depth_t, cons_t, tv_t):
+    """The 4-term total of `gaussian_map.py:119-124` from per-view scalar
+    terms (each (V,), already meaned within its view — equal view sizes
+    make the view-mean-of-means identical to the stacked-batch mean)."""
+    return (
+        jnp.mean(rgb_t)
+        + W_DEPTH * jnp.mean(depth_t)
+        + W_CONS * jnp.mean(cons_t)
+        + W_TV * jnp.mean(tv_t)
+    )

@@ -70,7 +70,7 @@ def _view_loss(o, rgb_gt, depth_gt, intrinsic):
     rgb_l1 = jnp.mean(losses.l1_masked(o.rgb, rgb_gt, mask_vis))
     depth_l1 = jnp.mean(losses.l1_masked(o.depth, depth_gt, mask_depth))
     d2n = depth_to_normal(o.depth[0], mask_vis[0], intrinsic).transpose(2, 0, 1)
-    cons = jnp.mean((1.0 - jnp.sum(o.normal * d2n, axis=0)) * mask_vis[0])
+    cons = jnp.mean(losses.consistency_loss(o.normal[None], d2n[None])[0] * mask_vis[0])
     tv = losses.normal_tv_loss(
         o.normal[None], jax.lax.stop_gradient(o.depth)[None], mask_depth[None]
     )
@@ -204,12 +204,7 @@ def batch_loss(
             )
 
     rgb_t, depth_t, cons_t, tv_t = terms
-    total = (
-        jnp.mean(rgb_t)
-        + 0.8 * jnp.mean(depth_t)
-        + 0.1 * jnp.mean(cons_t)
-        + 0.1 * jnp.mean(tv_t)
-    )
+    total = losses.total_from_view_terms(rgb_t, depth_t, cons_t, tv_t)
     per_frame = rgb_t + depth_t
     return total, jax.lax.stop_gradient(per_frame)
 

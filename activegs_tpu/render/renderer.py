@@ -1,10 +1,10 @@
 """Public rendering API: the TPU analog of `GaussianRenderer`
 (`utils/operations.py:723-904`).
 
-`render_view` renders one posed view with the full channel set; batching over
-views is a `jax.lax.map` (`render_views`) — each view's render saturates the
-chip, and sequential mapping keeps the entry buffers single-view sized —
-instead of the reference's Python loop over CUDA launches
+`render_view` renders one posed view with the full channel set; callers
+batch over views by mapping or unrolling it (`trainer.batch_loss`) — each
+view's render saturates the chip and keeps the entry buffers single-view
+sized — instead of the reference's Python loop over CUDA launches
 (`utils/operations.py:853-892`). Multi-device sharding over the view axis
 lives in parallel/ and simply shards the mapped axis.
 """
@@ -476,57 +476,6 @@ def render_view(
         "num_dropped": b.num_dropped,
     }
     return output, aux
-
-
-def render_views(
-    attrs: GaussianAttrs,
-    extrinsics: jnp.ndarray,
-    intrinsics: jnp.ndarray,
-    image_shape: tuple[int, int],
-    cfg: RasterConfig = RasterConfig(),
-    front_only: bool = False,
-    background: Optional[jnp.ndarray] = None,
-    bins: Optional[binning.BinResult] = None,
-):
-    """Render a batch of views sequentially (`render_view_all` analog,
-    `utils/operations.py:829-904`). extrinsics (V, 4, 4), intrinsics
-    (V, 3, 3); `bins` optionally carries stacked per-view BinResults.
-    Returns (RenderOutput stacked over V, in_view_any (N,))."""
-
-    def one(args):
-        ext, intr, b = args
-        out, aux = render_view(
-            attrs,
-            Camera(extrinsic=ext, intrinsic=intr),
-            image_shape,
-            cfg,
-            front_only=front_only,
-            background=background,
-            bin_result=b,
-        )
-        return out, aux["in_view"]
-
-    if bins is None:
-        v = extrinsics.shape[0]
-        h, w = image_shape
-        ntx, nty = _tile_grid(image_shape, cfg)
-
-        def one_nobin(cam_pair):
-            ext, intr = cam_pair
-            out, aux = render_view(
-                attrs,
-                Camera(extrinsic=ext, intrinsic=intr),
-                image_shape,
-                cfg,
-                front_only=front_only,
-                background=background,
-            )
-            return out, aux["in_view"]
-
-        outs, in_views = jax.lax.map(one_nobin, (extrinsics, intrinsics))
-    else:
-        outs, in_views = jax.lax.map(one, (extrinsics, intrinsics, bins))
-    return outs, jnp.any(in_views, axis=0)
 
 
 def render_stats(

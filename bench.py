@@ -244,12 +244,17 @@ def main():
     # and each view trains its compacted in-view subset (mapper.step parity)
     cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
     state = gm.slice_state(state, cap_b)
-    max_in_view, max_entries = (
-        int(x)
-        for x in trainer.keyframe_view_stats(
-            state, buf, jax.random.PRNGKey(0), cfg, raster_cfg
+    # budgets must cover every batch the timed/warm-up keys will sample
+    # (subset under-coverage drops gaussians silently, unlike entry drops)
+    bench_keys = (99, 0, 1, 2)
+    stats = [
+        trainer.keyframe_view_stats(
+            state, buf, jax.random.PRNGKey(k), cfg, raster_cfg
         )
-    )
+        for k in bench_keys
+    ]
+    max_in_view = max(int(s[0]) for s in stats)
+    max_entries = max(int(s[1]) for s in stats)
     subset_bucket = trainer.pick_subset_bucket(max_in_view, cap_b)
     entry_budget = trainer.pick_entry_bucket(max_entries)
 

@@ -69,9 +69,14 @@ def main():
     cap_b = gm.bucket_capacity(200_000, cfg.capacity)
     state = gm.slice_state(state, cap_b)
     key = jax.random.PRNGKey(0)
-    sb = trainer.pick_subset_bucket(
-        int(trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)[0]), cap_b
+    # ONE measuring call with the PRE-split key: keyframe_view_stats splits
+    # internally exactly like the sampling below, so both describe the same
+    # batch (the entry budget must cover cam0's view or bins drop silently)
+    max_iv, max_ents = (
+        int(x) for x in trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)
     )
+    sb = trainer.pick_subset_bucket(max_iv, cap_b)
+    eb = trainer.pick_entry_bucket(max_ents)
     key, k1 = jax.random.split(key)
     ids = kf.sample_weighted(buf, k1, cfg.batch_size, cfg.active_size)
     batch = jax.tree.map(jnp.asarray, kf.decode_frames(buf, ids))
@@ -79,11 +84,6 @@ def main():
     attrs0 = gm.attrs_of(state, cfg)
     packed0 = pack_attrs(attrs0)
     cam0 = Camera(extrinsic=batch[2][0], intrinsic=batch[3][0])
-
-    _, max_ents = (
-        int(x) for x in trainer.keyframe_view_stats(state, buf, key, cfg, rcfg)
-    )
-    eb = trainer.pick_entry_bucket(max_ents)
 
     @jax.jit
     def prep_one():

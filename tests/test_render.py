@@ -425,6 +425,24 @@ class TestStats:
         )
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref["count"]))
 
+    def test_fast_gather_rows_tiers_bitwise(self):
+        """All three fast_gather_rows tiers (plain f32 / u16 bitcast / u8
+        bitcast) must be bitwise identical to x[idx, :]. Production hits
+        the bitcast tiers only at mission-scale row counts, so this is the
+        only CI coverage of the reshape/bitcast ordering."""
+        from activegs_tpu.render.renderer import (
+            _U8_GATHER_MIN_ROWS,
+            _U16_GATHER_MIN_ROWS,
+            fast_gather_rows,
+        )
+
+        rng = np.random.default_rng(3)
+        for n in (4096, _U16_GATHER_MIN_ROWS, _U8_GATHER_MIN_ROWS):
+            x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+            idx = jnp.asarray(rng.integers(0, n, 2048).astype(np.int32))
+            out = fast_gather_rows(x, idx)
+            assert bool(jnp.all(out == x[idx, :])), n
+
     def test_subset_stats_exact(self):
         """render_stats with a subset bucket + entry budget must equal the
         full-capacity stats bitwise (post_process prune correctness)."""
