@@ -337,24 +337,21 @@ def _bwd_kernel(
         # stays f32 end-to-end
         wgd = wgt.astype(f32) * g_depth
         t_raw = terms["t_raw"]
-        ok = terms["ok"]
-        inside = ok & ~terms["lo_clamped"] & ~terms["hi_clamped"]
+        inside = terms["inside"]
         com = jnp.where(inside, wgd * terms["inv_denom"], 0.0)
         u = com * t_raw  # shared by dpa/dpb/dpc
         dpd = jnp.sum(com, 1, keepdims=True)
         dpa = -jnp.sum(u * px, 1, keepdims=True)
         dpb = -jnp.sum(u * py, 1, keepdims=True)
         dpc = -jnp.sum(u, 1, keepdims=True)
+        # dz grad: in every NON-inside branch (lo/hi clamp, invalid plane)
+        # the composited depth is t = c * dz with c in {depth_lo, depth_hi,
+        # 1}, so dt/ddz = t / dz there — one masked product-sum instead of
+        # the three branch-mask selects (saves ~3 VPU ops/pair; t carries
+        # c*dz to 1 ulp, well inside the 2e-5 gradient tolerances)
         ddz = jnp.sum(
-            wgd
-            * (
-                jnp.where(terms["lo_clamped"], cfg.depth_lo, 0.0)
-                + jnp.where(terms["hi_clamped"], cfg.depth_hi, 0.0)
-                + jnp.where(~ok, 1.0, 0.0)
-            ),
-            1,
-            keepdims=True,
-        )
+            jnp.where(inside, 0.0, wgd * terms["t"]), 1, keepdims=True
+        ) / jnp.maximum(cols["dz"], 1e-30)
 
         zcol = jnp.zeros_like(dpd)
         dcols = jnp.concatenate(

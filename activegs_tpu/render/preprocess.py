@@ -319,8 +319,7 @@ def eval_pair_terms_bwd(
         "inv_denom": inv_denom,
         "t_raw": t_raw,
         "ok": ok,
-        "lo_clamped": ok & (t_raw <= lo),
-        "hi_clamped": ok & (t_raw >= hi),
+        "inside": inside,
     }
 
 

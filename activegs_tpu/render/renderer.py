@@ -448,7 +448,12 @@ def render_view(
     )
     static = (num_tiles, ntx, cfg)
     out_tiles = cp.composite_tiled(entries, b.tile_start, b.tile_len, static)
-    img = _tiles_to_image(out_tiles, image_shape, cfg)  # (16, h, w)
+    # only rows 0..8 carry image channels (9 = stop counter, 10..15 sublane
+    # padding): slicing them off BEFORE the tile->image relayout cuts its
+    # cost by ~7/16 in both directions (the relayout chain measured
+    # ~4.1 ms/step at 512^2 x 8 views; the VJP re-pads with zeros, which
+    # fuses)
+    img = _tiles_to_image(out_tiles[:, : cp.ROW_TRANS + 1], image_shape, cfg)
 
     trans = img[cp.ROW_TRANS : cp.ROW_TRANS + 1]
     rgb = img[0:3]
