@@ -76,6 +76,43 @@ def _cumsum_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return x
 
 
+def _tri_strict(k: int, upper: bool) -> jnp.ndarray:
+    """(K, K) strictly-triangular 0/1 f32 mask from iotas (no host constant
+    to stage). The 0/1 values are exactly bf16-representable, so the MXU's
+    reduced-precision passes lose nothing on this operand."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return ((r < c) if upper else (r > c)).astype(jnp.float32)
+
+
+def _tri_dot(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(K, K) @ (K, P) triangular matmul at HIGHEST precision (~f32: the
+    mask splits exactly, the data operand 3-way; Mosaic supports only
+    DEFAULT and HIGHEST). Output f32."""
+    return jax.lax.dot_general(
+        tri,
+        x.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _excl_cumprod_total(one_m: jnp.ndarray, k: int):
+    """(exclusive prefix product along axis 0, total product) via the
+    Hillis-Steele doubling scan. A log-space triangular-MXU form
+    (exp(tril_strict @ log(one_m))) was MEASURED SLOWER on the v5e bench
+    (51.5 -> 48.4 Mrays/s): the log/exp transcendentals plus the HIGHEST
+    (x6-pass) matmul cost more than the ~14 cheap sublane-rotate passes
+    of the scan. The cumsum in the backward kernel has no transcendental
+    seam, and there the matmul DOES win — see cfg.mxu_scan."""
+    cum = _cumprod_k(one_m, k)
+    return (
+        jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0),
+        cum[-1:].astype(jnp.float32),
+    )
+
+
 def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig):
     """Pixel-center coordinates of tile t as (1, P) arrays."""
     p = cfg.tile_pixels
@@ -138,8 +175,7 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         alpha = jnp.where(kmask, alpha, 0.0)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        cum = _cumprod_k(one_m, kchunk)  # inclusive
-        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans.astype(alpha.dtype)  # (K, P)
 
         feats = _feats_of(e).astype(alpha.dtype)  # (7, K)
@@ -152,7 +188,7 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         # depth accumulates in f32 (bf16 depth would quantize ~2 cm at 5 m)
         dsum = jnp.sum(wgt * tdep, axis=0, keepdims=True)  # (1, P) f32
         acc = acc + jnp.concatenate([ch, dsum], axis=0)
-        trans = trans * cum[-1:].astype(jnp.float32)
+        trans = trans * total
         return (i + 1, trans, acc)
 
     init = (
@@ -203,6 +239,7 @@ def _bwd_kernel(
     nch = pl.cdiv(ln, kchunk)
     stop = stop_ref[t]
     px, py = _tile_pixel_coords(t, ntx, cfg)
+    triu_s = _tri_strict(kchunk, upper=True) if cfg.mxu_scan else None
 
     g = gout_ref[0]  # (OUT_ROWS, P)
     # feature-channel grads in feats order [r g b nx ny nz conf]
@@ -267,10 +304,8 @@ def _bwd_kernel(
         alpha = jnp.where(kmask, terms["alpha"], 0.0)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        cum = _cumprod_k(one_m, kchunk)
-        total = cum[-1:]
-        t_before = t_after / jnp.maximum(total.astype(jnp.float32), 1e-30)
-        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
+        t_before = t_after / jnp.maximum(total, 1e-30)
         t_k = t_before.astype(dt) * excl
         wgt = alpha * t_k  # (K, P) pair dtype
 
@@ -287,8 +322,16 @@ def _bwd_kernel(
         )  # (K, P) f32
         q_d = q.astype(dt)
         wq = wgt * q_d
-        incl = _cumsum_k(wq, kchunk)
-        suffix = s_q.astype(dt) + (incl[-1:] - incl)  # entries strictly after k
+        if cfg.mxu_scan:
+            # suffix over entries strictly after k: one strictly-upper
+            # triangular MXU matmul instead of the 14-pass doubling scan
+            sfx = _tri_dot(triu_s, wq).astype(dt)
+            tot_wq = jnp.sum(wq, axis=0, keepdims=True, dtype=jnp.float32)
+        else:
+            incl = _cumsum_k(wq, kchunk)
+            sfx = incl[-1:] - incl
+            tot_wq = incl[-1:].astype(jnp.float32)
+        suffix = s_q.astype(dt) + sfx  # entries strictly after k
         dalpha = t_k * q_d - (suffix + gtf) / jnp.maximum(one_m, 0.01)
         # Mosaic v5e has no bf16 vector compare: the active mask runs on an
         # f32 upcast, against the alpha_max value as rounded by the forward
@@ -382,7 +425,7 @@ def _bwd_kernel(
         wbuf[i % 2] = dcols.T
         wdma(i % 2, i).start()
 
-        return (i - 1, t_before, s_q + incl[-1:])
+        return (i - 1, t_before, s_q + tot_wq)
 
     p = cfg.tile_pixels
     init = (stop - 1, t_final, jnp.zeros((1, p), jnp.float32))
@@ -464,8 +507,7 @@ def _stats_kernel(
         kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
         alpha = jnp.where(kmask, alpha, 0.0)
         one_m = 1.0 - alpha
-        cum = _cumprod_k(one_m, kchunk)
-        excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans
         wm = wgt * pix_mask
         imp = jnp.sum(wm, axis=1, keepdims=True)  # (K, 1)
@@ -487,7 +529,7 @@ def _stats_kernel(
         a.start()
         b.start()
 
-        return (i + 1, trans * cum[-1:])
+        return (i + 1, trans * total)
 
     p = cfg.tile_pixels
     i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.ones((1, p), jnp.float32)))

@@ -119,6 +119,14 @@ class RasterConfig:
     tan_clamp: float = 1.3  # frustum clamp factor (gau_vert.glsl:86-91)
     near: float = 0.05  # z cull distance
     sigma_extent: float = 3.0  # bbox radius in sigmas (gau_vert.glsl:156)
+    # Exact per-candidate tile culling (binning.candidate_tiles): drop a
+    # (gaussian, tile) entry when the minimum of the conic quadratic over
+    # the tile's pixel-center rect exceeds 2*ln(opacity/alpha_cut) — every
+    # pixel the entry could have touched evaluates alpha < alpha_cut, which
+    # the compositor zeroes, so outputs are unchanged (only float
+    # regrouping at chunk boundaries, ~1e-7). Kills ~9% of bench entries
+    # (opacity 0.73); more for freshly spawned op=0.5 mission surfels.
+    tile_cull: bool = True
     depth_lo: float = 0.5  # plane-depth clamp, relative to center depth
     depth_hi: float = 2.0
     # bf16 pair math: evaluate the per-(entry, pixel) alpha terms and the
@@ -134,6 +142,14 @@ class RasterConfig:
     # the kernels' mixed-precision seams outnumber the pure mul/add runs
     # bf16 accelerates. Kept as an option for future hardware; default off.
     bf16_pairs: bool = False
+    # Backward-kernel suffix sum as one strictly-upper-triangular
+    # (K, K) @ (K, P) MXU matmul at HIGHEST precision instead of the
+    # ~14-pass Hillis-Steele doubling scan (+2.5% step throughput on the
+    # v5e bench; agreement ~1e-7 — the 0/1 mask splits exactly into bf16
+    # passes). The transmittance cumprods stay as doubling scans: the
+    # log-space matmul form was measured SLOWER (transcendental seams),
+    # see composite_pallas._excl_cumprod_total.
+    mxu_scan: bool = True
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 
     @property
