@@ -227,7 +227,6 @@ def keyframe_view_stats(
     with what the views actually see/bin."""
     from ..render import binning as rb
     from ..render import preprocess as rp
-    from ..render.types import P_EXT_X, P_EXT_Y
 
     sample = kf.sample_weighted if sampler == "weighted" else kf.sample_uniform
     key, k1 = jax.random.split(key)
@@ -240,11 +239,7 @@ def keyframe_view_stats(
         p2d, _, _, iv = rp.preprocess(
             attrs0, Camera(extrinsic=c[0], intrinsic=c[1]), (h, w), raster_cfg
         )
-        _, _, sw, sh, _ = rb.tile_spans(
-            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
-            (h, w), raster_cfg,
-        )
-        n_entries = jnp.sum(jnp.where(iv, sw * sh, 0))
+        n_entries = rb.entry_count(p2d, iv, (h, w), raster_cfg)
         return jnp.sum(iv.astype(jnp.int32)), n_entries
 
     ivs, ents = jax.lax.map(one, (batch[2], batch[3]))
@@ -466,7 +461,6 @@ def stats_view_budgets(
     subset bucket / entry budget. Cheap: preprocess + span sums, no sort."""
     from ..render import binning as rb
     from ..render import preprocess as rp
-    from ..render.types import P_EXT_X, P_EXT_Y
 
     h, w = buf.rgb.shape[-2:]
     attrs0 = gm.attrs_of(state, cfg)
@@ -480,11 +474,9 @@ def stats_view_budgets(
             raster_cfg,
             front_only=True,
         )
-        _, _, sw, sh, _ = rb.tile_spans(
-            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
-            (h, w), raster_cfg,
+        return jnp.sum(iv.astype(jnp.int32)), rb.entry_count(
+            p2d, iv, (h, w), raster_cfg
         )
-        return jnp.sum(iv.astype(jnp.int32)), jnp.sum(jnp.where(iv, sw * sh, 0))
 
     if not require_prune:
         return one(jnp.maximum(buf.count - 1, 0))

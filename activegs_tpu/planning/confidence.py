@@ -35,7 +35,6 @@ def _candidate_entry_stats(
     `entry_budget_mult * capacity` default."""
     from ..render import binning as rb
     from ..render import preprocess as rp
-    from ..render.types import P_EXT_X, P_EXT_Y
 
     attrs = gm.attrs_of(gm_state, map_cfg)
     h, w = shape
@@ -44,11 +43,7 @@ def _candidate_entry_stats(
         p2d, _, _, iv = rp.preprocess(
             attrs, Camera(extrinsic=ext, intrinsic=intrinsic), (h, w), raster_cfg
         )
-        _, _, sw, sh, _ = rb.tile_spans(
-            p2d[:, 0], p2d[:, 1], p2d[:, P_EXT_X], p2d[:, P_EXT_Y], iv,
-            (h, w), raster_cfg,
-        )
-        return jnp.sum(jnp.where(iv, sw * sh, 0))
+        return rb.entry_count(p2d, iv, (h, w), raster_cfg)
 
     return jnp.max(jax.lax.map(one, candidates))
 

@@ -31,7 +31,15 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .types import RasterConfig
+from .types import (
+    P_CONIC_A,
+    P_CONIC_B,
+    P_CONIC_C,
+    P_EXT_X,
+    P_EXT_Y,
+    P_OPACITY,
+    RasterConfig,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -107,11 +115,114 @@ def tile_spans(mean_x, mean_y, ext_x, ext_y, in_view, image_shape, cfg):
     return tx0c, ty0c, sw_c, sh_c, n_trunc
 
 
+def candidate_tiles(
+    params2d: jnp.ndarray,
+    in_view: jnp.ndarray,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig,
+):
+    """Per-gaussian candidate tile list: the capped AABB span from
+    `tile_spans`, exactly culled per (gaussian, tile) and front-compacted.
+
+    The cull is EXACT w.r.t. the compositor: a candidate is dropped only
+    when the minimum of the conic quadratic Q(d) = d^T conic d over the
+    tile's pixel-center rectangle exceeds Q* = 2*ln(opacity/alpha_cut) —
+    at every pixel the entry could have touched, alpha = op*exp(-Q/2) <
+    alpha_cut, which `preprocess._cut` zeroes, so the composited output is
+    unchanged (only float regrouping where chunk boundaries shift). Q is
+    convex, so its box-constrained minimum is either the center (inside
+    the rect) or on one of the four edges, each a 1-D clamped quadratic.
+    A +0.05 margin on Q* absorbs f32 rounding of the closed form (and the
+    bf16 alpha rounding under cfg.bf16_pairs).
+
+    Returns (tile (N, max_dup) int32 compacted ascending, kept (N, max_dup)
+    bool, kept_n (N,) int32, n_trunc ()). Shared by `bin_entries` and the
+    per-keyframe entry budget measurement (`entry_count`) so the two can
+    never disagree."""
+    h, w = image_shape
+    ntx = -(-w // cfg.tile_w)
+    max_dup = cfg.max_dup
+    mean_x = params2d[:, 0]
+    mean_y = params2d[:, 1]
+    tx0c, ty0c, sw_c, sh_c, n_trunc = tile_spans(
+        mean_x,
+        mean_y,
+        params2d[:, P_EXT_X],
+        params2d[:, P_EXT_Y],
+        in_view,
+        image_shape,
+        cfg,
+    )
+    dup = jnp.where(in_view, sw_c * sh_c, 0)
+    j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]
+    sel = j < dup[:, None]  # (N, max_dup)
+    r = j // sw_c[:, None]
+    c = j % sw_c[:, None]
+    cx = tx0c[:, None] + c
+    cy = ty0c[:, None] + r
+    tile = cy * ntx + cx
+
+    if not cfg.tile_cull:
+        return tile, sel, dup, n_trunc
+
+    ca = params2d[:, P_CONIC_A][:, None]
+    cb = params2d[:, P_CONIC_B][:, None]
+    cc = params2d[:, P_CONIC_C][:, None]
+    fw = jnp.float32(cfg.tile_w)
+    fh = jnp.float32(cfg.tile_h)
+    x0 = cx.astype(jnp.float32) * fw + 0.5 - mean_x[:, None]
+    x1 = x0 + (fw - 1.0)
+    y0 = cy.astype(jnp.float32) * fh + 0.5 - mean_y[:, None]
+    y1 = y0 + (fh - 1.0)
+
+    def edge_x(xv):
+        ys_ = jnp.clip(-cb * xv / jnp.maximum(cc, 1e-12), y0, y1)
+        return ca * xv * xv + 2.0 * cb * xv * ys_ + cc * ys_ * ys_
+
+    def edge_y(yv):
+        xs_ = jnp.clip(-cb * yv / jnp.maximum(ca, 1e-12), x0, x1)
+        return ca * xs_ * xs_ + 2.0 * cb * xs_ * yv + cc * yv * yv
+
+    q = jnp.minimum(
+        jnp.minimum(edge_x(x0), edge_x(x1)), jnp.minimum(edge_y(y0), edge_y(y1))
+    )
+    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+    q = jnp.where(inside, 0.0, q)
+    op = params2d[:, P_OPACITY]
+    qstar = 2.0 * jnp.log(
+        jnp.maximum(op, cfg.alpha_cut) * (1.0 / cfg.alpha_cut)
+    )
+    keep = sel & (q <= qstar[:, None] + 0.05)
+
+    # front-compact kept candidates (ascending-tile order preserved, so the
+    # "candidate j=0 = smallest entry slot" invariant of the sort-plan VJP
+    # still holds); max_dup is tiny, so the max_dup^2 select-sums are cheap
+    tgt = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    kept_n = jnp.sum(keep, axis=1).astype(jnp.int32)
+    cols = []
+    for m in range(max_dup):
+        hit = keep & (tgt == m)  # at most one true per row
+        cols.append(jnp.sum(jnp.where(hit, tile, 0), axis=1))
+    tile_c = jnp.stack(cols, axis=1).astype(jnp.int32)
+    kept = j < kept_n[:, None]
+    return tile_c, kept, kept_n, n_trunc
+
+
+def entry_count(
+    params2d: jnp.ndarray,
+    in_view: jnp.ndarray,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Number of entries `bin_entries` will produce for this view — the
+    per-keyframe budget measurement (trainer.keyframe_view_stats) and the
+    binning itself share `candidate_tiles` so they can never disagree."""
+    _, _, kept_n, _ = candidate_tiles(params2d, in_view, image_shape, cfg)
+    return jnp.sum(kept_n)
+
+
 def bin_entries(
-    mean_x: jnp.ndarray,
-    mean_y: jnp.ndarray,
-    ext_x: jnp.ndarray,
-    ext_y: jnp.ndarray,
+    params2d: jnp.ndarray,
     depth_z: jnp.ndarray,
     in_view: jnp.ndarray,
     image_shape: tuple[int, int],
@@ -121,11 +232,10 @@ def bin_entries(
 ) -> BinResult:
     """Build the K-aligned per-tile entry layout with ONE sort.
 
-    `ext_x`/`ext_y` are per-axis half-extents in pixels (the AABB of the
-    sigma_extent ellipse, preprocess rows P_EXT_X/P_EXT_Y) — tighter than
-    the 3DGS circumscribed-circle convention for elongated surfels, and
-    still conservative: every pixel whose alpha survives `alpha_cut` within
-    the sigma_extent level set lies inside the box.
+    `params2d` is the preprocess output (rows: means, conic, opacity,
+    per-axis sigma_extent extents P_EXT_X/P_EXT_Y); candidate tiles come
+    from `candidate_tiles` (capped AABB span + exact opacity-aware
+    ellipse/tile cull).
 
     The dense (N, max_dup) candidate grid is enumerated gaussian-major and
     its enumeration index doubles as a third sort key, so the
@@ -136,46 +246,39 @@ def bin_entries(
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
     num_tiles = ntx * nty
-    n = mean_x.shape[0]
+    n = params2d.shape[0]
     kchunk = cfg.chunk
     max_dup = cfg.max_dup
 
-    tx0c, ty0c, sw_c, sh_c, n_trunc = tile_spans(
-        mean_x, mean_y, ext_x, ext_y, in_view, image_shape, cfg
-    )
-    dup = jnp.where(in_view, sw_c * sh_c, 0)
+    tile, sel, dup, n_trunc = candidate_tiles(params2d, in_view, image_shape, cfg)
     num_dropped = n_trunc  # span truncation (dense layout never overflows)
 
-    # --- per-tile histogram: separable rectangle count on the MXU ---
-    # count[ty, tx] = sum_i [ty in y-span_i] * [tx in x-span_i]; exact in
-    # bf16 inputs (0/1) with f32 accumulation up to 2^24 entries per tile
+    # --- per-tile histogram: one-tile-per-candidate indicator matmuls on
+    # the MXU, one (N, ntx) x (nty, N) pair per candidate column (peak
+    # memory stays at the separable-rectangle version's; 0/1 operands are
+    # exact in bf16 passes, accumulation is f32) ---
     xs = jnp.arange(ntx, dtype=jnp.int32)[None, :]
-    ind_x = (
-        (xs >= tx0c[:, None]) & (xs < (tx0c + sw_c)[:, None]) & in_view[:, None]
-    ).astype(jnp.float32)  # (N, ntx)
     ys = jnp.arange(nty, dtype=jnp.int32)[:, None]
-    ind_y = ((ys >= ty0c[None, :]) & (ys < (ty0c + sh_c)[None, :])).astype(
-        jnp.float32
-    )  # (nty, N)
-    seg_len = (
-        jax.lax.dot_general(
+    seg_len = jnp.zeros((nty, ntx), jnp.float32)
+    for m in range(max_dup):
+        cxm = tile[:, m] % ntx
+        cym = tile[:, m] // ntx
+        ind_x = ((xs == cxm[:, None]) & sel[:, m][:, None]).astype(
+            jnp.float32
+        )  # (N, ntx)
+        ind_y = (ys == cym[None, :]).astype(jnp.float32)  # (nty, N)
+        seg_len = seg_len + jax.lax.dot_general(
             ind_y,
             ind_x,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        .reshape(-1)
-        .astype(jnp.int32)
-    )  # (T,)
+    seg_len = seg_len.reshape(-1).astype(jnp.int32)  # (T,)
     pad_len = -(-seg_len // kchunk) * kchunk
     pad_cnt = pad_len - seg_len  # in [0, K)
 
     # --- dense (N, max_dup) candidate grid, gaussian-major for tie order ---
     j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]
-    sel = j < dup[:, None]  # (N, max_dup)
-    r = j // sw_c[:, None]
-    c = j % sw_c[:, None]
-    tile = (ty0c[:, None] + r) * ntx + (tx0c[:, None] + c)
     tile_e = jnp.where(sel, tile, num_tiles).reshape(-1)  # sentinel sorts last
     inf = jnp.float32(jnp.inf)
     depth_e = jnp.where(sel, depth_z[:, None], inf).reshape(-1)

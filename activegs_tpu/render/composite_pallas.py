@@ -170,9 +170,10 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         e = buf[i % 2]  # (PARAM_DIM, K)
         et = e.T  # (K, PARAM_DIM) — one small relayout per chunk
         cols = pp.entry_cols(et)
+        # no tail mask needed: K-alignment dummy entries (gid = -1) are
+        # gathered as exact zero rows, which evaluate to alpha = 0 through
+        # opacity * exp(0) = 0 and the alpha_cut zeroing
         alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (K, P)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
-        alpha = jnp.where(kmask, alpha, 0.0)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
         excl, total = _excl_cumprod_total(one_m, kchunk)
@@ -300,8 +301,9 @@ def _bwd_kernel(
         cols = pp.entry_cols(et)
         terms = pp.eval_pair_terms_bwd(cols, px, py, cfg)
         tdep = terms["t"]
-        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
-        alpha = jnp.where(kmask, terms["alpha"], 0.0)
+        # dummy entries are zero rows -> alpha 0, inside False: every grad
+        # chain below already zeroes them, no tail mask needed
+        alpha = terms["alpha"]
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
         excl, total = _excl_cumprod_total(one_m, kchunk)
@@ -504,8 +506,6 @@ def _stats_kernel(
         et = e.T
         cols = pp.entry_cols(et)
         alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg)
-        kmask = jax.lax.broadcasted_iota(jnp.int32, (kchunk, 1), 0) < (ln - i * kchunk)
-        alpha = jnp.where(kmask, alpha, 0.0)
         one_m = 1.0 - alpha
         excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans

@@ -20,8 +20,6 @@ import numpy as np
 
 from . import binning, composite_pallas as cp, preprocess as pp
 from .types import (
-    P_EXT_X,
-    P_EXT_Y,
     Camera,
     GaussianAttrs,
     RasterConfig,
@@ -85,10 +83,7 @@ def prepare_view_bins(
     )
     sg = jax.lax.stop_gradient
     return binning.bin_entries(
-        sg(params2d[:, 0]),
-        sg(params2d[:, 1]),
-        sg(params2d[:, P_EXT_X]),
-        sg(params2d[:, P_EXT_Y]),
+        sg(params2d),
         sg(depth_z),
         in_view,
         image_shape,
@@ -210,10 +205,7 @@ def _prepare_entries(
     if bin_result is None:
         sg = jax.lax.stop_gradient
         b = binning.bin_entries(
-            sg(params2d[:, 0]),
-            sg(params2d[:, 1]),
-            sg(params2d[:, P_EXT_X]),
-            sg(params2d[:, P_EXT_Y]),
+            sg(params2d),
             sg(depth_z),
             in_view,
             image_shape,

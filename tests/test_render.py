@@ -92,44 +92,61 @@ class TestBinning:
         params2d, radius, depth_z, in_view = pp.preprocess(
             attrs, make_camera(), (h, w), cfg
         )
-        b = binning.bin_entries(
-            params2d[:, 0],
-            params2d[:, 1],
-            params2d[:, P_EXT_X],
-            params2d[:, P_EXT_Y],
-            depth_z,
-            in_view,
-            (h, w),
-            cfg,
-        )
+        b = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg)
         assert int(b.num_dropped) == 0
         gid = np.asarray(b.gid)
         starts = np.asarray(b.tile_start)
         lens = np.asarray(b.tile_len)
-        mx, my = np.asarray(params2d[:, 0]), np.asarray(params2d[:, 1])
-        rx = np.asarray(params2d[:, P_EXT_X])
-        ry = np.asarray(params2d[:, P_EXT_Y])
+        p = np.asarray(params2d)
+        mx, my = p[:, 0], p[:, 1]
+        rx, ry = p[:, P_EXT_X], p[:, P_EXT_Y]
+        ca, cb, cc = p[:, 2], p[:, 3], p[:, 4]
+        op = p[:, 5]
         z = np.asarray(depth_z)
         iv = np.asarray(in_view)
         ntx = -(-w // cfg.tile_w)
+
+        def min_q_over_tile(i, tx, ty):
+            # independent numpy box-QP: min of the conic quadratic over the
+            # tile's pixel-center rect (convex -> center or one of 4 edges)
+            x0 = tx * cfg.tile_w + 0.5 - mx[i]
+            x1 = x0 + cfg.tile_w - 1
+            y0 = ty * cfg.tile_h + 0.5 - my[i]
+            y1 = y0 + cfg.tile_h - 1
+            if x0 <= 0 <= x1 and y0 <= 0 <= y1:
+                return 0.0
+            best = np.inf
+            for xv in (x0, x1):
+                yv = np.clip(-cb[i] * xv / max(cc[i], 1e-12), y0, y1)
+                best = min(best, ca[i] * xv * xv + 2 * cb[i] * xv * yv + cc[i] * yv * yv)
+            for yv in (y0, y1):
+                xv = np.clip(-cb[i] * yv / max(ca[i], 1e-12), x0, x1)
+                best = min(best, ca[i] * xv * xv + 2 * cb[i] * xv * yv + cc[i] * yv * yv)
+            return best
+
+        qstar = 2.0 * np.log(np.maximum(op, cfg.alpha_cut) / cfg.alpha_cut)
         for t in range(len(starts)):
             seg = gid[starts[t] : starts[t] + lens[t]]
             assert np.all(seg >= 0)
             # depth sorted within tile
             assert np.all(np.diff(z[seg]) >= 0)
-            # brute force: which gaussians' per-axis AABB overlaps tile t
+            # brute force: per-axis AABB overlap + exact opacity-aware
+            # ellipse/tile cull (the binning contract)
             tx, ty = t % ntx, t // ntx
             x0, x1 = tx * cfg.tile_w, (tx + 1) * cfg.tile_w
             y0, y1 = ty * cfg.tile_h, (ty + 1) * cfg.tile_h
-            want = set(
-                np.nonzero(
-                    iv
-                    & (mx + rx >= x0)
-                    & (mx - rx < x1)
-                    & (my + ry >= y0)
-                    & (my - ry < y1)
-                )[0].tolist()
+            box = (
+                iv
+                & (mx + rx >= x0)
+                & (mx - rx < x1)
+                & (my + ry >= y0)
+                & (my - ry < y1)
             )
+            want = {
+                i
+                for i in np.nonzero(box)[0].tolist()
+                if min_q_over_tile(i, tx, ty) <= qstar[i] + 0.05
+            }
             assert set(seg.tolist()) == want
 
     def test_alignment(self):
@@ -143,16 +160,7 @@ class TestBinning:
         params2d, radius, depth_z, in_view = pp.preprocess(
             attrs, make_camera(), (h, w), cfg
         )
-        b = binning.bin_entries(
-            params2d[:, 0],
-            params2d[:, 1],
-            params2d[:, P_EXT_X],
-            params2d[:, P_EXT_Y],
-            depth_z,
-            in_view,
-            (h, w),
-            cfg,
-        )
+        b = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg)
         assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
 
 
