@@ -246,25 +246,34 @@ def keyframe_view_stats(
     return jnp.max(ivs), jnp.max(ents)
 
 
+def _half_step_bucket(need: int, min_bucket: int) -> int:
+    """Smallest bucket >= need on the {p2, 1.5*p2} ladder (16384, 24576,
+    32768, 49152, ...). Per-index costs (entry/subset gathers, their VJP
+    combines, zero-fill DMA) scale with the BUCKET, not the live count; the
+    half steps cap padding waste at 25% instead of 50% while keeping the
+    number of distinct compiled programs logarithmic. Every rung is a
+    multiple of 128 for min_bucket >= 256 (Mosaic lane-aligned DMA slices)."""
+    b = min_bucket
+    while b < need:
+        if b + b // 2 >= need:
+            return b + b // 2
+        b *= 2
+    return b
+
+
 def pick_subset_bucket(
     max_count: int, capacity: int, min_bucket: int = 8192
 ) -> int | None:
-    """Power-of-two per-view subset bucket, or None when compaction would
-    not shrink the problem (bucket ~ capacity)."""
-    b = min_bucket
-    while b < max_count:
-        b *= 2
+    """Per-view subset bucket on the half-step ladder, or None when
+    compaction would not shrink the problem (bucket ~ capacity)."""
+    b = _half_step_bucket(max_count, min_bucket)
     return None if b * 2 > capacity else b
 
 
 def pick_entry_bucket(max_entries: int, min_bucket: int = 16384) -> int:
-    """Power-of-two entry budget covering the measured per-view binned entry
-    count (zero budget drops by construction; bucketing keeps the number of
-    distinct compiled programs logarithmic)."""
-    b = min_bucket
-    while b < max_entries:
-        b *= 2
-    return b
+    """Entry budget covering the measured per-view binned entry count (zero
+    budget drops by construction), on the half-step bucket ladder."""
+    return _half_step_bucket(max_entries, min_bucket)
 
 
 @functools.partial(

@@ -75,6 +75,11 @@ def _round_up(x: int, m: int) -> int:
 # inverse map wins (linear regime, measured ~4.2 ns/index); above it the
 # sort-plan combine wins (XLA TPU gathers are superlinear past ~0.5M
 # indices — 8.5 ms at 1.05M vs 2.5 ms at 0.56M on the bench chip)
+# (Re-measured after the half-step bucket ladder: forcing the plan path at
+# the bench shapes — dense 131k, E 49152 — benches 53.2 vs 55.8 Mrays/s;
+# the plan's extra per-keyframe sorts + masked shifted adds cost more than
+# the 131k-vs-82k index savings. The crossover stays at the superlinear
+# gather knee.)
 INV_LINEAR_MAX = 1 << 19
 
 

@@ -463,8 +463,18 @@ class TestSubsetTraining:
         )
         assert 0 < mx <= 64
         assert max_entries >= mx  # every in-view gaussian bins >= 1 entry
-        assert trainer.pick_subset_bucket(mx, 256, min_bucket=32) in (32, 64, 128, None)
+        assert trainer.pick_subset_bucket(mx, 256, min_bucket=32) in (
+            32, 48, 64, 96, 128, None,
+        )
         assert trainer.pick_subset_bucket(100, 8192, min_bucket=32) == 128
         assert trainer.pick_subset_bucket(6000, 8192, min_bucket=32) is None
         assert trainer.pick_entry_bucket(100, min_bucket=32) == 128
         assert trainer.pick_entry_bucket(10, min_bucket=32) == 32
+        # half-step ladder rungs cap padding waste at 25%
+        assert trainer.pick_entry_bucket(40_000) == 49_152
+        assert trainer.pick_entry_bucket(49_152) == 49_152
+        assert trainer.pick_entry_bucket(50_000) == 65_536
+        assert trainer.pick_entry_bucket(70_000) == 98_304
+        assert trainer.pick_entry_bucket(70_000) % 128 == 0
+        assert trainer.pick_subset_bucket(30_000, 1 << 18) == 32_768
+        assert trainer.pick_subset_bucket(40_000, 1 << 18) == 49_152
