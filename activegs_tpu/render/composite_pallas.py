@@ -150,10 +150,26 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     px, py = _tile_pixel_coords(t, ntx, cfg)
+    xtp = cfg.cross_tile_prefetch
 
-    @pl.when(nch > 0)
-    def _():
-        _entry_dma(entries_ref, buf, sem, start, 0, 0, kchunk).start()
+    if xtp:
+        # chunk 0 arrives in the dedicated slot 2, started by the PREVIOUS
+        # grid program (scratch persists across the sequential TPU grid);
+        # only program 0 starts its own
+        @pl.when((t == 0) & (nch > 0))
+        def _():
+            _entry_dma(entries_ref, buf, sem, start, 0, 2, kchunk).start()
+
+    else:
+
+        @pl.when(nch > 0)
+        def _():
+            _entry_dma(entries_ref, buf, sem, start, 0, 0, kchunk).start()
+
+    def slot_of(i):
+        # chunk 0 lives in slot 2 under cross-tile prefetch; chunks >= 1
+        # keep the usual parity slots (chunk 1 -> slot 1, so no clash)
+        return jnp.where(i == 0, 2, i % 2) if xtp else i % 2
 
     def cond(c):
         i, trans, _ = c
@@ -161,13 +177,14 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
 
     def body(c):
         i, trans, acc = c
-        _entry_dma(entries_ref, buf, sem, start, i, i % 2, kchunk).wait()
+        rslot = slot_of(i)
+        _entry_dma(entries_ref, buf, sem, start, i, rslot, kchunk).wait()
 
         @pl.when(i + 1 < nch)
         def _():
             _entry_dma(entries_ref, buf, sem, start, i + 1, (i + 1) % 2, kchunk).start()
 
-        e = buf[i % 2]  # (PARAM_DIM, K)
+        e = buf[rslot]  # (PARAM_DIM, K)
         et = e.T  # (K, PARAM_DIM) — one small relayout per chunk
         cols = pp.entry_cols(et)
         # no tail mask needed: K-alignment dummy entries (gid = -1) are
@@ -201,7 +218,19 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
 
     @pl.when(i_end < nch)  # drain the prefetched-but-unconsumed DMA
     def _():
-        _entry_dma(entries_ref, buf, sem, start, i_end, i_end % 2, kchunk).wait()
+        _entry_dma(entries_ref, buf, sem, start, i_end, slot_of(i_end), kchunk).wait()
+
+    if xtp:
+        # start the NEXT tile's chunk-0 DMA into slot 2 (free: this tile's
+        # slot-2 DMA, if any, was waited at i == 0 — i_end >= 1 whenever
+        # nch > 0 since transmittance starts at 1 > term_eps)
+        @pl.when(t + 1 < pl.num_programs(0))
+        def _():
+            ns = start_ref[t + 1]
+
+            @pl.when(len_ref[t + 1] > 0)
+            def _():
+                _entry_dma(entries_ref, buf, sem, ns, 0, 2, kchunk).start()
 
     zeros = jnp.zeros((OUT_ROWS - 10, p), jnp.float32)
     stop_row = jnp.full((1, p), 1.0, jnp.float32) * i_end.astype(jnp.float32)
@@ -608,8 +637,11 @@ def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
             (num_tiles, OUT_ROWS, cfg.tile_pixels), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, PARAM_DIM, cfg.chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(
+                (3 if cfg.cross_tile_prefetch else 2, PARAM_DIM, cfg.chunk),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((3 if cfg.cross_tile_prefetch else 2,)),
         ],
         interpret=interpret,
     )(tile_start, tile_len, entries)

@@ -150,6 +150,13 @@ class RasterConfig:
     # log-space matmul form was measured SLOWER (transcendental seams),
     # see composite_pallas._excl_cumprod_total.
     mxu_scan: bool = True
+    # Cross-tile first-chunk DMA prefetch in the forward kernel: Pallas TPU
+    # grids run sequentially with scratch persisting across grid steps, so
+    # program t can start tile t+1's chunk-0 entry DMA (into a dedicated
+    # third buffer slot) before finishing — hiding the per-tile first-DMA
+    # latency that is otherwise un-overlapped (most tiles have 1-2 chunks).
+    # Validated against the dense oracle on real TPU before enabling.
+    cross_tile_prefetch: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 
     @property

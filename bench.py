@@ -234,7 +234,10 @@ def main():
         optimization_steps=steps,
         unroll_views=True,
     )
-    raster_cfg = RasterConfig(bf16_pairs=bool(os.environ.get("BENCH_BF16")))
+    raster_cfg = RasterConfig(
+        bf16_pairs=bool(os.environ.get("BENCH_BF16")),
+        cross_tile_prefetch=bool(os.environ.get("BENCH_XTP")),
+    )
 
     import dataclasses
 
