@@ -60,17 +60,10 @@ def normal_tv_loss(
     return total / (v * 4 * h * w)
 
 
-def scale_loss(scales: jnp.ndarray) -> jnp.ndarray:
-    """Isotropy regularizer on the two tangent scales (`scale_loss_fc`,
-    `mapping/utils.py:104-108`)."""
-    mean2 = jnp.mean(scales[..., :2], axis=-1, keepdims=True)
-    return jnp.mean(jnp.abs(scales[..., :2] - mean2))
-
-
-def opacity_loss(opacities: jnp.ndarray, confidences: jnp.ndarray) -> jnp.ndarray:
-    """(1 - confidence) * opacity (`op_loss_fc`, `mapping/utils.py:111-113`)."""
-    return jnp.mean((1.0 - confidences) * opacities)
-
+# NOTE: the reference also defines `scale_loss_fc`/`op_loss_fc`
+# (`mapping/utils.py:104-113`) but its train loop never assembles them into
+# the total (`gaussian_map.py:119-124`); they are deliberately not carried
+# here — the 4-term total below is the complete loss contract.
 
 # 4-term total weights (`gaussian_map.py:119-124`):
 # rgb + 0.8 depth + 0.1 consistency + 0.1 normal-TV

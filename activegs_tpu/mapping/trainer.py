@@ -252,7 +252,10 @@ def _half_step_bucket(need: int, min_bucket: int) -> int:
     combines, zero-fill DMA) scale with the BUCKET, not the live count; the
     half steps cap padding waste at 25% instead of 50% while keeping the
     number of distinct compiled programs logarithmic. Every rung is a
-    multiple of 128 for min_bucket >= 256 (Mosaic lane-aligned DMA slices)."""
+    multiple of 128 for power-of-two min_bucket >= 256 (Mosaic lane-aligned
+    DMA slices; a non-power-of-two min_bucket would break this — e.g. 320
+    yields rung 480)."""
+    assert min_bucket & (min_bucket - 1) == 0, "min_bucket must be a power of two"
     b = min_bucket
     while b < need:
         if b + b // 2 >= need:

@@ -72,17 +72,17 @@ def search_goal(
     dist = {start_t: 0.0}
     parents = {start_t: None}
     found = {}
-    pq = [(0.0, start_t)]
+    pq = [(0.0, 0.0, start_t)]
     while pq and goal_set:
-        f, node = heapq.heappop(pq)
+        f, g_at_push, node = heapq.heappop(pq)
+        base = dist[node]
+        if g_at_push > base:  # stale entry: node relaxed since this push
+            continue
         if node in goal_set:
             goal_set.remove(node)
-            found[node] = dist[node]
+            found[node] = base
             if not goal_set:
                 break
-        base = dist[node]
-        if f - base > np.linalg.norm(dim * voxel_size):  # stale entry guard
-            pass
         narr = np.asarray(node) + _OFFSETS
         ok = np.all(narr >= 0, 1) & np.all(narr < dim, 1)
         for off_i in np.nonzero(ok)[0]:
@@ -95,7 +95,7 @@ def search_goal(
                 parents[nb] = node
                 c = centers(nb)
                 h = float(np.min(np.linalg.norm(goal_centers - c, axis=1)))
-                heapq.heappush(pq, (g + h, nb))
+                heapq.heappush(pq, (g + h, g, nb))
 
     paths, lengths = [], []
     for g in goals:

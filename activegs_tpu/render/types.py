@@ -155,7 +155,11 @@ class RasterConfig:
     # program t can start tile t+1's chunk-0 entry DMA (into a dedicated
     # third buffer slot) before finishing — hiding the per-tile first-DMA
     # latency that is otherwise un-overlapped (most tiles have 1-2 chunks).
-    # Validated against the dense oracle on real TPU before enabling.
+    # On-chip validation: scripts/validate_onchip.py compares the tiled
+    # path (with and without this flag) against the dense oracle on real
+    # TPU hardware — interpret-mode tests do NOT model the DMA races this
+    # path could introduce; rerun that script after touching the DMA slot
+    # wiring before trusting hardware results.
     cross_tile_prefetch: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 

@@ -234,9 +234,13 @@ def main():
         optimization_steps=steps,
         unroll_views=True,
     )
+    def env_flag(name):
+        # "0" disables: any(-non-empty) truthiness made BENCH_XTP=0 enable
+        return os.environ.get(name, "") not in ("", "0")
+
     raster_cfg = RasterConfig(
-        bf16_pairs=bool(os.environ.get("BENCH_BF16")),
-        cross_tile_prefetch=bool(os.environ.get("BENCH_XTP")),
+        bf16_pairs=env_flag("BENCH_BF16"),
+        cross_tile_prefetch=env_flag("BENCH_XTP"),
     )
 
     import dataclasses

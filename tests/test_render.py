@@ -165,8 +165,15 @@ class TestBinning:
 
 
 class TestForward:
+    @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
     @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"])
-    def test_matches_dense_oracle(self, cfg):
+    def test_matches_dense_oracle(self, cfg, xtp):
+        # xtp=True pins the cross_tile_prefetch slot arithmetic (slot_of,
+        # drain, cross-tile start guards) in interpret mode; DMA races are
+        # NOT modeled here — scripts/validate_onchip.py covers real hardware
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, cross_tile_prefetch=xtp)
         attrs = make_attrs(96, seed=1)
         cam = make_camera()
         shape = (64, 64)
@@ -187,12 +194,15 @@ class TestForward:
         )
         assert int(aux["num_dropped"]) == 0
 
-    def test_opaque_wall_early_termination(self):
+    @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
+    def test_opaque_wall_early_termination(self, xtp):
         # stack many opaque surfels; front ones fully occlude the back
+        import dataclasses
+
         attrs = make_attrs(256, seed=2, opaque=True)
         cam = make_camera()
         shape = (64, 64)
-        cfg = CFG_SMALL_CHUNK
+        cfg = dataclasses.replace(CFG_SMALL_CHUNK, cross_tile_prefetch=xtp)
         ref = render_dense(attrs, cam, shape, cfg)
         out, _ = render_view(attrs, cam, shape, cfg)
         np.testing.assert_allclose(
