@@ -234,13 +234,14 @@ def main():
         optimization_steps=steps,
         unroll_views=True,
     )
-    def env_flag(name):
+    def env_flag(name, default=""):
         # "0" disables: any(-non-empty) truthiness made BENCH_XTP=0 enable
-        return os.environ.get(name, "") not in ("", "0")
+        return os.environ.get(name, default) not in ("", "0")
 
     raster_cfg = RasterConfig(
         bf16_pairs=env_flag("BENCH_BF16"),
-        cross_tile_prefetch=env_flag("BENCH_XTP"),
+        # default ON (matches RasterConfig; on-chip validated, perf-neutral)
+        cross_tile_prefetch=env_flag("BENCH_XTP", "1"),
     )
 
     import dataclasses
