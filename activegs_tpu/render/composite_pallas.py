@@ -56,22 +56,23 @@ def _use_interpret(cfg: RasterConfig) -> bool:
 
 
 def _cumprod_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Inclusive prefix product along axis 0 (length k, power of two or not)
-    via a Hillis-Steele doubling scan — Mosaic has no native cumprod."""
+    """Inclusive prefix product along the entry axis (-2; length k, power of
+    two or not) via a Hillis-Steele doubling scan — Mosaic has no native
+    cumprod. Rank-agnostic: (K, P) plain, (2, K/2, P/2) subtile-packed."""
     s = 1
     while s < k:
-        pad = jnp.ones((s, x.shape[1]), x.dtype)
-        x = x * jnp.concatenate([pad, x[:-s]], axis=0)
+        pad = jnp.ones((*x.shape[:-2], s, x.shape[-1]), x.dtype)
+        x = x * jnp.concatenate([pad, x[..., :-s, :]], axis=-2)
         s *= 2
     return x
 
 
 def _cumsum_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Inclusive prefix sum along axis 0 (doubling scan)."""
+    """Inclusive prefix sum along the entry axis (-2; doubling scan)."""
     s = 1
     while s < k:
-        pad = jnp.zeros((s, x.shape[1]), x.dtype)
-        x = x + jnp.concatenate([pad, x[:-s]], axis=0)
+        pad = jnp.zeros((*x.shape[:-2], s, x.shape[-1]), x.dtype)
+        x = x + jnp.concatenate([pad, x[..., :-s, :]], axis=-2)
         s *= 2
     return x
 
@@ -99,8 +100,8 @@ def _tri_dot(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _excl_cumprod_total(one_m: jnp.ndarray, k: int):
-    """(exclusive prefix product along axis 0, total product) via the
-    Hillis-Steele doubling scan. A log-space triangular-MXU form
+    """(exclusive prefix product along the entry axis -2, total product)
+    via the Hillis-Steele doubling scan. A log-space triangular-MXU form
     (exp(tril_strict @ log(one_m))) was MEASURED SLOWER on the v5e bench
     (51.5 -> 48.4 Mrays/s): the log/exp transcendentals plus the HIGHEST
     (x6-pass) matmul cost more than the ~14 cheap sublane-rotate passes
@@ -108,13 +109,28 @@ def _excl_cumprod_total(one_m: jnp.ndarray, k: int):
     seam, and there the matmul DOES win — see cfg.mxu_scan."""
     cum = _cumprod_k(one_m, k)
     return (
-        jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0),
-        cum[-1:].astype(jnp.float32),
+        jnp.concatenate(
+            [jnp.ones_like(cum[..., :1, :]), cum[..., :-1, :]], axis=-2
+        ),
+        cum[..., -1:, :].astype(jnp.float32),
     )
 
 
 def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig):
-    """Pixel-center coordinates of tile t as (1, P) arrays."""
+    """Pixel-center coordinates of program t.
+
+    Plain: (1, P) over the tile_h x tile_w tile (ntx = tile grid width).
+    Subtile-packed: (2, 1, P/2) over the two tile_h x tile_w/2 subtiles
+    2t and 2t+1 of the BINNING grid (ntx = subtile grid width)."""
+    if cfg.subtile_packing:
+        psub = cfg.tile_pixels // 2
+        tw = cfg.tile_w // 2
+        s = jax.lax.broadcasted_iota(jnp.int32, (2, 1, psub), 0)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (2, 1, psub), 2)
+        tid = 2 * t + s
+        px = ((tid % ntx) * tw + pix % tw).astype(jnp.float32) + 0.5
+        py = ((tid // ntx) * cfg.tile_h + pix // tw).astype(jnp.float32) + 0.5
+        return px, py
     p = cfg.tile_pixels
     tx = t % ntx
     ty = t // ntx
@@ -128,6 +144,68 @@ def _feats_of(e: jnp.ndarray) -> jnp.ndarray:
     """(7, K) matmul features from an entry block (PARAM_DIM, K): colors,
     world normals, confidence (entry rows 6..11 and 16)."""
     return jnp.concatenate([e[6:12, :], e[16:17, :]], axis=0)
+
+
+def _chunk_cols(e: jnp.ndarray, cfg: RasterConfig) -> dict:
+    """Per-entry parameter columns from a DMA'd chunk (PARAM_DIM, K).
+
+    Subtile-packed chunks hold [K/2 entries of subtile A | K/2 of B]; the
+    transpose reshapes to (2, K/2, PARAM_DIM) so all pair math runs batched
+    over the leading subtile axis against (2, 1, P/2) pixel grids."""
+    et = e.T
+    if cfg.subtile_packing:
+        et = et.reshape(2, cfg.chunk // 2, PARAM_DIM)
+    return pp.entry_cols(et)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
+def _feat_dot(feats, wgt, pack: bool):
+    """Channel accumulation feats (7, K) x wgt -> (7, P) per pixel.
+    Packed: two (7, K/2) @ (K/2, P/2) dots stacked to (2, 7, P/2) — the
+    subtiles' outputs must not mix, so the contraction never crosses the
+    K/2 boundary."""
+    if pack:
+        ks = wgt.shape[-2]
+        return jnp.stack(
+            [
+                _dot(feats[:, :ks], wgt[0], ((1,), (0,))),
+                _dot(feats[:, ks:], wgt[1], ((1,), (0,))),
+            ],
+            axis=0,
+        )
+    return _dot(feats, wgt, ((1,), (0,)))
+
+
+def _featT_dot(feats, g_feat, pack: bool):
+    """q-side contraction feats^T (K, 7) x g_feat (7, P) -> (K, P);
+    packed: per-subtile, stacked to (2, K/2, P/2)."""
+    if pack:
+        ks = feats.shape[-1] // 2
+        return jnp.stack(
+            [
+                _dot(feats[:, :ks], g_feat[0], ((0,), (0,))),
+                _dot(feats[:, ks:], g_feat[1], ((0,), (0,))),
+            ],
+            axis=0,
+        )
+    return _dot(feats, g_feat, ((0,), (0,)))
+
+
+def _grad_feat_dot(wgt, g_feat, pack: bool):
+    """Feature gradients wgt (K, P) x g_feat^T (P, 7) -> (K, 7);
+    packed: per-subtile, stacked to (2, K/2, 7)."""
+    if pack:
+        return jnp.stack(
+            [
+                _dot(wgt[0], g_feat[0], ((1,), (1,))),
+                _dot(wgt[1], g_feat[1], ((1,), (1,))),
+            ],
+            axis=0,
+        )
+    return _dot(wgt, g_feat, ((1,), (1,)))
 
 
 def _entry_dma(entries_ref, buf, sem, start, chunk, slot, kchunk):
@@ -144,6 +222,8 @@ def _entry_dma(entries_ref, buf, sem, start, chunk, slot, kchunk):
 
 def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg):
     kchunk = cfg.chunk
+    pack = cfg.subtile_packing
+    ksc = kchunk // 2 if pack else kchunk  # entries per scan (per subtile)
     p = cfg.tile_pixels
     t = pl.program_id(0)
     start = start_ref[t]
@@ -185,34 +265,28 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
             _entry_dma(entries_ref, buf, sem, start, i + 1, (i + 1) % 2, kchunk).start()
 
         e = buf[rslot]  # (PARAM_DIM, K)
-        et = e.T  # (K, PARAM_DIM) — one small relayout per chunk
-        cols = pp.entry_cols(et)
+        cols = _chunk_cols(e, cfg)  # one small relayout per chunk
         # no tail mask needed: K-alignment dummy entries (gid = -1) are
         # gathered as exact zero rows, which evaluate to alpha = 0 through
         # opacity * exp(0) = 0 and the alpha_cut zeroing
         alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (K, P)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        excl, total = _excl_cumprod_total(one_m, kchunk)
+        excl, total = _excl_cumprod_total(one_m, ksc)
         wgt = alpha * excl * trans.astype(alpha.dtype)  # (K, P)
 
         feats = _feats_of(e).astype(alpha.dtype)  # (7, K)
-        ch = jax.lax.dot_general(
-            feats,
-            wgt,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (7, P)
+        ch = _feat_dot(feats, wgt, pack)  # (7, P) | (2, 7, P/2)
         # depth accumulates in f32 (bf16 depth would quantize ~2 cm at 5 m)
-        dsum = jnp.sum(wgt * tdep, axis=0, keepdims=True)  # (1, P) f32
-        acc = acc + jnp.concatenate([ch, dsum], axis=0)
+        dsum = jnp.sum(wgt * tdep, axis=-2, keepdims=True)  # (..., 1, P) f32
+        acc = acc + jnp.concatenate([ch, dsum], axis=-2)
         trans = trans * total
         return (i + 1, trans, acc)
 
     init = (
         jnp.int32(0),
-        jnp.ones((1, p), jnp.float32),
-        jnp.zeros((8, p), jnp.float32),
+        jnp.ones((2, 1, p // 2) if pack else (1, p), jnp.float32),
+        jnp.zeros((2, 8, p // 2) if pack else (8, p), jnp.float32),
     )
     i_end, trans, acc = jax.lax.while_loop(cond, body, init)
 
@@ -232,13 +306,24 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
             def _():
                 _entry_dma(entries_ref, buf, sem, ns, 0, 2, kchunk).start()
 
-    zeros = jnp.zeros((OUT_ROWS - 10, p), jnp.float32)
-    stop_row = jnp.full((1, p), 1.0, jnp.float32) * i_end.astype(jnp.float32)
+    zeros = jnp.zeros((*trans.shape[:-2], OUT_ROWS - 10, trans.shape[-1]), jnp.float32)
+    stop_row = jnp.ones_like(trans) * i_end.astype(jnp.float32)
     # rows: rgb(0:3) nrm(3:6) from acc[0:6]; depth=acc[7]; conf=acc[6]
     out = jnp.concatenate(
-        [acc[0:6], acc[7:8], acc[6:7], trans, stop_row, zeros], axis=0
+        [
+            acc[..., 0:6, :],
+            acc[..., 7:8, :],
+            acc[..., 6:7, :],
+            trans,
+            stop_row,
+            zeros,
+        ],
+        axis=-2,
     )
-    out_ref[0, :, :] = out
+    if pack:
+        out_ref[:, :, :] = out  # (2, OUT_ROWS, P/2): one row per subtile
+    else:
+        out_ref[0, :, :] = out
 
 
 # --------------------------------------------------------------------------
@@ -263,20 +348,27 @@ def _bwd_kernel(
     cfg,
 ):
     kchunk = cfg.chunk
+    pack = cfg.subtile_packing
+    ksc = kchunk // 2 if pack else kchunk
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     stop = stop_ref[t]
     px, py = _tile_pixel_coords(t, ntx, cfg)
-    triu_s = _tri_strict(kchunk, upper=True) if cfg.mxu_scan else None
+    triu_s = _tri_strict(ksc, upper=True) if cfg.mxu_scan else None
 
-    g = gout_ref[0]  # (OUT_ROWS, P)
+    g = gout_ref[:, :, :] if pack else gout_ref[0]  # (..., OUT_ROWS, P)
     # feature-channel grads in feats order [r g b nx ny nz conf]
-    g_feat = jnp.concatenate([g[0:6, :], g[ROW_CONF : ROW_CONF + 1, :]], axis=0)
-    g_depth = g[ROW_DEPTH : ROW_DEPTH + 1, :]
-    g_trans = g[ROW_TRANS : ROW_TRANS + 1, :]
-    t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
+    g_feat = jnp.concatenate(
+        [g[..., 0:6, :], g[..., ROW_CONF : ROW_CONF + 1, :]], axis=-2
+    )
+    g_depth = g[..., ROW_DEPTH : ROW_DEPTH + 1, :]
+    g_trans = g[..., ROW_TRANS : ROW_TRANS + 1, :]
+    if pack:
+        t_final = out_fwd_ref[:, ROW_TRANS : ROW_TRANS + 1, :]  # (2, 1, P/2)
+    else:
+        t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
     dt = jnp.bfloat16 if cfg.bf16_pairs else jnp.float32
     g_feat_d = g_feat.astype(dt)  # matmul operand in pair dtype (MXU-native)
     gtf = (g_trans * t_final).astype(dt)  # (1, P), hoisted out of the loop
@@ -326,8 +418,7 @@ def _bwd_kernel(
             _entry_dma(entries_ref, rbuf, rsem, start, i - 1, (i - 1) % 2, kchunk).start()
 
         e = rbuf[i % 2]
-        et = e.T
-        cols = pp.entry_cols(et)
+        cols = _chunk_cols(e, cfg)
         terms = pp.eval_pair_terms_bwd(cols, px, py, cfg)
         tdep = terms["t"]
         # dummy entries are zero rows -> alpha 0, inside False: every grad
@@ -335,33 +426,30 @@ def _bwd_kernel(
         alpha = terms["alpha"]
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        excl, total = _excl_cumprod_total(one_m, kchunk)
+        excl, total = _excl_cumprod_total(one_m, ksc)
         t_before = t_after / jnp.maximum(total, 1e-30)
         t_k = t_before.astype(dt) * excl
         wgt = alpha * t_k  # (K, P) pair dtype
 
         feats = _feats_of(e).astype(dt)  # (7, K)
         # q_k(p) = sum_c feat_c[k] g_c(p) + t_k(p) g_depth(p)
-        q = (
-            jax.lax.dot_general(
-                feats,
-                g_feat_d,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + tdep * g_depth
-        )  # (K, P) f32
+        q = _featT_dot(feats, g_feat_d, pack) + tdep * g_depth  # (K, P) f32
         q_d = q.astype(dt)
         wq = wgt * q_d
         if cfg.mxu_scan:
             # suffix over entries strictly after k: one strictly-upper
             # triangular MXU matmul instead of the 14-pass doubling scan
-            sfx = _tri_dot(triu_s, wq).astype(dt)
-            tot_wq = jnp.sum(wq, axis=0, keepdims=True, dtype=jnp.float32)
+            if pack:
+                sfx = jnp.stack(
+                    [_tri_dot(triu_s, wq[0]), _tri_dot(triu_s, wq[1])], axis=0
+                ).astype(dt)
+            else:
+                sfx = _tri_dot(triu_s, wq).astype(dt)
+            tot_wq = jnp.sum(wq, axis=-2, keepdims=True, dtype=jnp.float32)
         else:
-            incl = _cumsum_k(wq, kchunk)
-            sfx = incl[-1:] - incl
-            tot_wq = incl[-1:].astype(jnp.float32)
+            incl = _cumsum_k(wq, ksc)
+            sfx = incl[..., -1:, :] - incl
+            tot_wq = incl[..., -1:, :].astype(jnp.float32)
         suffix = s_q.astype(dt) + sfx  # entries strictly after k
         dalpha = t_k * q_d - (suffix + gtf) / jnp.maximum(one_m, 0.01)
         # Mosaic v5e has no bf16 vector compare: the active mask runs on an
@@ -383,11 +471,11 @@ def _bwd_kernel(
         dpow = dalpha * alpha  # d/d(power) premultiplier
         t1 = dpow * dx
         t2 = dpow * dy
-        s_x = jnp.sum(t1, 1, keepdims=True, dtype=f32)
-        s_y = jnp.sum(t2, 1, keepdims=True, dtype=f32)
-        s_xx = jnp.sum(t1 * dx, 1, keepdims=True, dtype=f32)
-        s_xy = jnp.sum(t1 * dy, 1, keepdims=True, dtype=f32)
-        s_yy = jnp.sum(t2 * dy, 1, keepdims=True, dtype=f32)
+        s_x = jnp.sum(t1, -1, keepdims=True, dtype=f32)
+        s_y = jnp.sum(t2, -1, keepdims=True, dtype=f32)
+        s_xx = jnp.sum(t1 * dx, -1, keepdims=True, dtype=f32)
+        s_xy = jnp.sum(t1 * dy, -1, keepdims=True, dtype=f32)
+        s_yy = jnp.sum(t2 * dy, -1, keepdims=True, dtype=f32)
         dmean_x = cols["ca"] * s_x + cols["cb"] * s_y
         dmean_y = cols["cb"] * s_x + cols["cc"] * s_y
         dca = -0.5 * s_xx
@@ -396,15 +484,10 @@ def _bwd_kernel(
         # d(alpha)/d(op) = exp(power) wherever alpha is not clamped — `active`
         # already zeroed dalpha at the alpha_max clamp and the cutoff, so the
         # per-pair divide alpha/op reduces to the exp already computed
-        dop = jnp.sum(dalpha * terms["ex"], 1, keepdims=True, dtype=f32)
+        dop = jnp.sum(dalpha * terms["ex"], -1, keepdims=True, dtype=f32)
 
         # feature grads: (K, 7) = wgt (K,P) @ g_feat^T (P,7)
-        dfeat = jax.lax.dot_general(
-            wgt,
-            g_feat_d,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, 7)
+        dfeat = _grad_feat_dot(wgt, g_feat_d, pack)  # (..., K, 7)
 
         # depth-plane grads (inv_denom / t_raw / clamp masks shared with the
         # alpha-depth evaluation above — one divide per pair, not three);
@@ -414,17 +497,17 @@ def _bwd_kernel(
         inside = terms["inside"]
         com = jnp.where(inside, wgd * terms["inv_denom"], 0.0)
         u = com * t_raw  # shared by dpa/dpb/dpc
-        dpd = jnp.sum(com, 1, keepdims=True)
-        dpa = -jnp.sum(u * px, 1, keepdims=True)
-        dpb = -jnp.sum(u * py, 1, keepdims=True)
-        dpc = -jnp.sum(u, 1, keepdims=True)
+        dpd = jnp.sum(com, -1, keepdims=True)
+        dpa = -jnp.sum(u * px, -1, keepdims=True)
+        dpb = -jnp.sum(u * py, -1, keepdims=True)
+        dpc = -jnp.sum(u, -1, keepdims=True)
         # dz grad: in every NON-inside branch (lo/hi clamp, invalid plane)
         # the composited depth is t = c * dz with c in {depth_lo, depth_hi,
         # 1}, so dt/ddz = t / dz there — one masked product-sum instead of
         # the three branch-mask selects (saves ~3 VPU ops/pair; t carries
         # c*dz to 1 ulp, well inside the 2e-5 gradient tolerances)
         ddz = jnp.sum(
-            jnp.where(inside, 0.0, wgd * terms["t"]), 1, keepdims=True
+            jnp.where(inside, 0.0, wgd * terms["t"]), -1, keepdims=True
         ) / jnp.maximum(cols["dz"], 1e-30)
 
         zcol = jnp.zeros_like(dpd)
@@ -436,30 +519,36 @@ def _bwd_kernel(
                 dcb,
                 dcc,
                 dop,
-                dfeat[:, 0:6],  # colors + normals
+                dfeat[..., 0:6],  # colors + normals
                 dpa,
                 dpb,
                 dpc,
                 dpd,
-                dfeat[:, 6:7],  # confidence
+                dfeat[..., 6:7],  # confidence
                 ddz,
             ]
             + [zcol] * (PARAM_DIM - 18),
-            axis=1,
-        )  # (K, PARAM_DIM)
+            axis=-1,
+        )  # (..., K, PARAM_DIM)
 
         # reuse of a write slot two iterations later must wait its DMA
         @pl.when(i + 2 <= stop - 1)
         def _():
             wdma(i % 2, i + 2).wait()
 
-        wbuf[i % 2] = dcols.T
+        # packed (2, K/2, PARAM_DIM) merges to (K, PARAM_DIM) rows [A | B] —
+        # exactly the chunk's memory order
+        wbuf[i % 2] = dcols.reshape(kchunk, PARAM_DIM).T
         wdma(i % 2, i).start()
 
         return (i - 1, t_before, s_q + tot_wq)
 
     p = cfg.tile_pixels
-    init = (stop - 1, t_final, jnp.zeros((1, p), jnp.float32))
+    init = (
+        stop - 1,
+        t_final,
+        jnp.zeros((2, 1, p // 2) if pack else (1, p), jnp.float32),
+    )
     jax.lax.while_loop(lambda c: c[0] >= 0, body, init)
 
     # drain outstanding writes (chunks 0 and 1 are never waited in-loop)
@@ -495,13 +584,16 @@ def _stats_kernel(
     cfg,
 ):
     kchunk = cfg.chunk
+    pack = cfg.subtile_packing
+    ksc = kchunk // 2 if pack else kchunk
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     px, py = _tile_pixel_coords(t, ntx, cfg)
-    mask = mask_ref[0]  # (8, P) broadcast rows; row 0 is the real mask
-    pix_mask = mask[0:1, :]
+    # (8, P) broadcast rows; row 0 is the real mask
+    mask = mask_ref[:, :, :] if pack else mask_ref[0]
+    pix_mask = mask[..., 0:1, :]
     thres = thres_ref[0, 0]
 
     def wdma(slot, chunk):
@@ -532,16 +624,15 @@ def _stats_kernel(
             _entry_dma(entries_ref, buf, sem, start, i + 1, (i + 1) % 2, kchunk).start()
 
         e = buf[i % 2]
-        et = e.T
-        cols = pp.entry_cols(et)
+        cols = _chunk_cols(e, cfg)
         alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg)
         one_m = 1.0 - alpha
-        excl, total = _excl_cumprod_total(one_m, kchunk)
+        excl, total = _excl_cumprod_total(one_m, ksc)
         wgt = alpha * excl * trans
         wm = wgt * pix_mask
-        imp = jnp.sum(wm, axis=1, keepdims=True)  # (K, 1)
+        imp = jnp.sum(wm, axis=-1, keepdims=True)  # (..., K, 1)
         cnt = jnp.sum(
-            jnp.where(wm >= thres, 1.0, 0.0), axis=1, keepdims=True
+            jnp.where(wm >= thres, 1.0, 0.0), axis=-1, keepdims=True
         )
 
         # double-buffered writes: wait only when reusing a slot (two chunks
@@ -552,8 +643,9 @@ def _stats_kernel(
             a.wait()
             b.wait()
 
-        wimp[i % 2] = imp.T
-        wcnt[i % 2] = cnt.T
+        # packed (2, K/2, 1) merges to chunk memory order [A | B]
+        wimp[i % 2] = imp.reshape(kchunk, 1).T
+        wcnt[i % 2] = cnt.reshape(kchunk, 1).T
         a, b = wdma(i % 2, i)
         a.start()
         b.start()
@@ -561,7 +653,8 @@ def _stats_kernel(
         return (i + 1, trans * total)
 
     p = cfg.tile_pixels
-    i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.ones((1, p), jnp.float32)))
+    trans0 = jnp.ones((2, 1, p // 2) if pack else (1, p), jnp.float32)
+    i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), trans0))
 
     @pl.when(i_end < nch)
     def _():
@@ -619,9 +712,21 @@ def _stats_kernel(
 # --------------------------------------------------------------------------
 
 
+def _out_block(num_programs: int, cfg: RasterConfig):
+    """(block_shape, out_shape_rows, row_pixels) of the per-tile output.
+
+    Subtile-packed programs write TWO output tiles (one per subtile) of
+    half the pixels each; the output array is then in row-major order of
+    the BINNING (subtile) grid either way."""
+    if cfg.subtile_packing:
+        return (2, OUT_ROWS, cfg.tile_pixels // 2), 2 * num_programs
+    return (1, OUT_ROWS, cfg.tile_pixels), num_programs
+
+
 def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
     interpret = _use_interpret(cfg)
     kernel = functools.partial(_fwd_kernel, ntx=ntx, cfg=cfg)
+    blk, out_rows = _out_block(num_tiles, cfg)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -630,11 +735,9 @@ def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, cfg.tile_pixels), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(blk, lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, OUT_ROWS, cfg.tile_pixels), jnp.float32
+            (out_rows, OUT_ROWS, blk[2]), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM(
@@ -650,6 +753,7 @@ def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
 def _run_bwd(entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx, cfg):
     interpret = _use_interpret(cfg)
     kernel = functools.partial(_bwd_kernel, ntx=ntx, cfg=cfg)
+    blk, _ = _out_block(num_tiles, cfg)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -658,16 +762,8 @@ def _run_bwd(entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, OUT_ROWS, cfg.tile_pixels),
-                lambda t: (t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, OUT_ROWS, cfg.tile_pixels),
-                lambda t: (t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(blk, lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(entries.shape, jnp.float32),
@@ -692,7 +788,9 @@ def composite_tiled(entries, tile_start, tile_len, static):
 def _composite_fwd(entries, tile_start, tile_len, static):
     num_tiles, ntx, cfg = static
     out = _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
-    stop = out[:, ROW_STOP, 0].astype(jnp.int32)
+    # packed output has two rows per program (identical stop counters)
+    step = 2 if cfg.subtile_packing else 1
+    stop = out[::step, ROW_STOP, 0].astype(jnp.int32)
     return out, (entries, tile_start, tile_len, stop, out)
 
 
@@ -719,6 +817,10 @@ def composite_stats(
     interpret = _use_interpret(cfg)
     kernel = functools.partial(_stats_kernel, ntx=ntx, cfg=cfg)
     thres = jnp.full((1, 1), weight_thres, jnp.float32)
+    if cfg.subtile_packing:
+        mask_blk = (2, 8, cfg.tile_pixels // 2)
+    else:
+        mask_blk = (1, 8, cfg.tile_pixels)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -726,9 +828,7 @@ def composite_stats(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, 8, cfg.tile_pixels), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(mask_blk, lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(

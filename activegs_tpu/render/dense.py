@@ -66,8 +66,10 @@ def composite_dense(
         [ch[:6], depth, ch[6:7], t_final[None], jnp.zeros_like(t_final)[None]], axis=0
     )
 
+    # flat (P,): a (1, P) mask would broadcast wm to (1, N, P) and silently
+    # produce (N, P)-shaped importance via clipped indexing
     mask = (
-        jnp.ones_like(px)
+        jnp.ones((h * w,), jnp.float32)
         if render_mask is None
         else render_mask.reshape(-1).astype(jnp.float32)
     )

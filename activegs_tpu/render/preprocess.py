@@ -324,7 +324,9 @@ def eval_pair_terms_bwd(
 
 
 def entry_cols(entries_t: jnp.ndarray) -> dict:
-    """Split a transposed entry block (K, PARAM_DIM) into (K, 1) columns."""
+    """Split a transposed entry block (..., K, PARAM_DIM) into (..., K, 1)
+    columns (rank-agnostic: the subtile-packed kernels pass (2, K/2,
+    PARAM_DIM) and broadcast against (2, 1, P/2) pixel grids)."""
     names = [
         "mean_x",
         "mean_y",
@@ -345,4 +347,4 @@ def entry_cols(entries_t: jnp.ndarray) -> dict:
         "conf",
         "dz",
     ]
-    return {n: entries_t[:, i : i + 1] for i, n in enumerate(names)}
+    return {n: entries_t[..., i : i + 1] for i, n in enumerate(names)}

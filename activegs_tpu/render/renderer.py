@@ -34,31 +34,45 @@ from .types import (
 
 
 def _tile_grid(image_shape, cfg: RasterConfig):
+    """Kernel PROGRAM grid (one program per tile_h x tile_w region — a
+    subtile pair under cfg.subtile_packing)."""
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
     return ntx, nty
 
 
-def _tiles_to_image(out_tiles: jnp.ndarray, image_shape, cfg: RasterConfig):
-    """(T, C, P) tile-major output -> (C, h, w) image."""
-    h, w = image_shape
+def _kernel_static(image_shape, cfg: RasterConfig):
+    """(num_programs, kernel_ntx): the compositor grid size and the tile
+    grid width its pixel-coordinate math uses (the BINNING/subtile grid
+    width under packing, the program grid width otherwise)."""
     ntx, nty = _tile_grid(image_shape, cfg)
+    _, _, bntx, _ = binning.bin_tile_dims(image_shape, cfg)
+    return ntx * nty, bntx if cfg.subtile_packing else ntx
+
+
+def _tiles_to_image(out_tiles: jnp.ndarray, image_shape, cfg: RasterConfig):
+    """(T, C, P) tile-major output -> (C, h, w) image. T and P are in
+    BINNING-grid units (subtiles under packing — the packed kernel writes
+    one output row per subtile, in row-major subtile order)."""
+    h, w = image_shape
+    th, tw, ntx, nty = binning.bin_tile_dims(image_shape, cfg)
     c = out_tiles.shape[1]
-    img = out_tiles.reshape(nty, ntx, c, cfg.tile_h, cfg.tile_w)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(c, nty * cfg.tile_h, ntx * cfg.tile_w)
+    img = out_tiles.reshape(nty, ntx, c, th, tw)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c, nty * th, ntx * tw)
     return img[:, :h, :w]
 
 
 def _image_to_tiles(img: jnp.ndarray, image_shape, cfg: RasterConfig, rows: int):
-    """(h, w) mask -> (T, rows, P) tile-major layout (row 0 real, rest pad)."""
+    """(h, w) mask -> (T, rows, P) BINNING-grid tile-major layout (row 0
+    real, rest pad)."""
     h, w = image_shape
-    ntx, nty = _tile_grid(image_shape, cfg)
-    pad_h = nty * cfg.tile_h - h
-    pad_w = ntx * cfg.tile_w - w
+    th, tw, ntx, nty = binning.bin_tile_dims(image_shape, cfg)
+    pad_h = nty * th - h
+    pad_w = ntx * tw - w
     m = jnp.pad(img.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
-    m = m.reshape(nty, cfg.tile_h, ntx, cfg.tile_w).transpose(0, 2, 1, 3)
-    m = m.reshape(nty * ntx, 1, cfg.tile_pixels)
+    m = m.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3)
+    m = m.reshape(nty * ntx, 1, th * tw)
     return jnp.concatenate([m, jnp.zeros_like(m).repeat(rows - 1, 1)], axis=1)
 
 
@@ -433,12 +447,11 @@ def render_view(
     sizes the binned entry stream when binning inline.
     """
     h, w = image_shape
-    ntx, nty = _tile_grid(image_shape, cfg)
-    num_tiles = ntx * nty
+    num_programs, kntx = _kernel_static(image_shape, cfg)
     entries, b, _, radius, in_view = _prepare_entries(
         attrs, camera, image_shape, cfg, front_only, bin_result, entry_budget
     )
-    static = (num_tiles, ntx, cfg)
+    static = (num_programs, kntx, cfg)
     out_tiles = cp.composite_tiled(entries, b.tile_start, b.tile_len, static)
     # only rows 0..8 carry image channels (9 = stop counter, 10..15 sublane
     # padding): slicing them off BEFORE the tile->image relayout cuts its
@@ -522,8 +535,7 @@ def render_stats(
         cnt = jnp.where(present, cnt_s[inv_c], 0)
         return imp, cnt
     h, w = image_shape
-    ntx, nty = _tile_grid(image_shape, cfg)
-    num_tiles = ntx * nty
+    num_programs, kntx = _kernel_static(image_shape, cfg)
     entries, b, _, _, _ = _prepare_entries(
         attrs, camera, image_shape, cfg, front_only, entry_budget=entry_budget
     )
@@ -536,8 +548,8 @@ def render_stats(
         b.tile_start,
         b.tile_len,
         mask_tiles,
-        num_tiles,
-        ntx,
+        num_programs,
+        kntx,
         cfg,
         weight_thres,
     )

@@ -164,6 +164,21 @@ class RasterConfig:
     # free); rerun the script after ANY change to the DMA slot wiring —
     # interpret-mode tests do not model DMA races.
     cross_tile_prefetch: bool = True
+    # Two-subtile packing: bin at half-width subtiles (tile_h x tile_w/2)
+    # but keep one kernel program per full tile by pairing horizontally
+    # adjacent subtiles. Binning emits a pair-interleaved entry layout —
+    # every `chunk`-entry block of a pair segment is [A chunk/2 | B chunk/2]
+    # — so the kernels' 128-aligned chunk DMAs are unchanged and only the
+    # pair math splits into a (2, chunk/2, pixels/2) batched form.
+    # On-chip validated (scripts/validate_onchip.py) but DEFAULT OFF on a
+    # measured NEGATIVE result at the bench scene (55.1 -> 51.3 Mrays/s):
+    # at ~56 entries per 16x16 subtile the 64-granularity alignment +
+    # pair-balance padding DOUBLE the entry stream (57k -> 115k), so real
+    # pair-evals only drop ~27% while DMA chunks grow ~44% and the extra
+    # placement sort costs ~19 ms/keyframe (scripts/ab_pack.py numbers,
+    # NOTES_ROUNDS r3). Revisit at higher surfel density, where the fixed
+    # per-subtile padding floor amortizes.
+    subtile_packing: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 
     @property

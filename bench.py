@@ -242,6 +242,10 @@ def main():
         bf16_pairs=env_flag("BENCH_BF16"),
         # default ON (matches RasterConfig; on-chip validated, perf-neutral)
         cross_tile_prefetch=env_flag("BENCH_XTP", "1"),
+        # two-subtile packing: on-chip validated, measured SLOWER here
+        # (51.3 vs 55.1 Mrays/s — entry stream doubles at bench density;
+        # see RasterConfig.subtile_packing + scripts/ab_pack.py)
+        subtile_packing=env_flag("BENCH_PACK"),
     )
 
     import dataclasses

@@ -9,14 +9,19 @@ the kernels' DMA structure, before trusting bench numbers.
 Checks:
   A. small scene (64x64, 96 surfels): tiled path vs the dense oracle
      (render/dense.py) — all 5 channels AND parameter gradients — for
-     cross_tile_prefetch in (off, on); the two tiled variants must also be
-     BITWISE identical (they evaluate the same math in the same order; any
-     difference is a DMA race).
+     cross_tile_prefetch in (off, on) AND subtile_packing; the two xtp
+     variants must also be BITWISE identical (they evaluate the same math
+     in the same order; any difference is a DMA race). The packed variant
+     regroups chunk boundaries, so it is held to oracle tolerances only.
   B. mission scale (512^2, 200k surfels, the bench scene): the full
-     train_keyframe program (8 views x 10 steps, fwd+bwd+Adam) with the
-     flag on vs off — all parameter leaves must be BITWISE identical,
-     repeated with perturbed inputs (races are intermittent; 80 renders
-     per repeat give them surface area).
+     train_keyframe program (8 views x 10 steps, fwd+bwd+Adam):
+       - xtp on vs off — all parameter leaves BITWISE identical, repeated
+         with perturbed inputs (races are intermittent; 80 renders per
+         repeat give them surface area);
+       - subtile_packing: the SAME program run twice must be bitwise
+         self-identical (a write-DMA race is nondeterministic), and its
+         loss must track the plain path to 1% (different float regrouping
+         only).
 
 Prints one PASS/FAIL line per check and exits non-zero on failure.
 """
@@ -119,30 +124,33 @@ def small_scene_checks():
     t0 = time.time()
     ref = render_dense(attrs, cam, shape, cfg0)
     gref = grads_of(loss_dense)
+    variants = {
+        "seq": dataclasses.replace(cfg0, cross_tile_prefetch=False),
+        "xtp": dataclasses.replace(cfg0, cross_tile_prefetch=True),
+        "pack": dataclasses.replace(cfg0, subtile_packing=True),
+    }
     outs, grads = {}, {}
-    for xtp in (False, True):
-        cfg = dataclasses.replace(cfg0, cross_tile_prefetch=xtp)
+    for tag, cfg in variants.items():
         out, _ = render_view(attrs, cam, shape, cfg)
-        outs[xtp] = {k: np.asarray(getattr(out, k)) for k in wr}
-        grads[xtp] = grads_of(loss_tiled, cfg)
-        tag = "xtp" if xtp else "seq"
+        outs[tag] = {k: np.asarray(getattr(out, k)) for k in wr}
+        grads[tag] = grads_of(loss_tiled, cfg)
         for k in wr:
             atol = 1e-4 if k == "depth" else 2e-5
-            err = float(np.abs(outs[xtp][k] - np.asarray(ref[k])).max())
+            err = float(np.abs(outs[tag][k] - np.asarray(ref[k])).max())
             check(f"small/{tag}/{k} vs oracle", err <= atol, f"maxerr={err:.2e}")
         for k in grad_leaves:
             scale = max(1.0, float(np.abs(gref[k]).max()))
-            err = float(np.abs(grads[xtp][k] - gref[k]).max()) / scale
+            err = float(np.abs(grads[tag][k] - gref[k]).max()) / scale
             check(f"small/{tag}/grad_{k} vs oracle", err <= 2e-4, f"relerr={err:.2e}")
     for k in wr:
         check(
             f"small/bitwise out {k} (xtp vs seq)",
-            np.array_equal(outs[True][k], outs[False][k]),
+            np.array_equal(outs["xtp"][k], outs["seq"][k]),
         )
     for k in grad_leaves:
         check(
             f"small/bitwise grad {k} (xtp vs seq)",
-            np.array_equal(grads[True][k], grads[False][k]),
+            np.array_equal(grads["xtp"][k], grads["seq"][k]),
         )
     print(f"  small-scene block took {time.time() - t0:.1f}s")
 
@@ -161,16 +169,24 @@ def mission_scale_check(repeats=3):
     cap_b = gm.bucket_capacity(n_gauss, cfg.capacity)
     state = gm.slice_state(state, cap_b)
     keys = (99, 0, 1, 2)
-    stats = [
-        trainer.keyframe_view_stats(
-            state, buf, jax.random.PRNGKey(k), cfg, RasterConfig()
+
+    def budgets(rcfg):
+        stats = [
+            trainer.keyframe_view_stats(state, buf, jax.random.PRNGKey(k), cfg, rcfg)
+            for k in keys
+        ]
+        return (
+            trainer.pick_subset_bucket(max(int(s[0]) for s in stats), cap_b),
+            trainer.pick_entry_bucket(max(int(s[1]) for s in stats)),
         )
-        for k in keys
-    ]
-    subset_bucket = trainer.pick_subset_bucket(max(int(s[0]) for s in stats), cap_b)
-    entry_budget = trainer.pick_entry_bucket(max(int(s[1]) for s in stats))
+
+    budget_cache = {}
 
     def run(rcfg, i):
+        bkey = rcfg.subtile_packing
+        if bkey not in budget_cache:
+            budget_cache[bkey] = budgets(rcfg)
+        subset_bucket, entry_budget = budget_cache[bkey]
         s = dataclasses.replace(state, means=state.means + jnp.float32(1e-6) * (i + 1))
         s1, _, loss, _ = trainer.train_keyframe(
             s,
@@ -189,14 +205,33 @@ def mission_scale_check(repeats=3):
 
     for i in range(repeats):
         t0 = time.time()
-        a = run(RasterConfig(), i)
+        a = run(RasterConfig(cross_tile_prefetch=False), i)
         b = run(RasterConfig(cross_tile_prefetch=True), i)
         ok = all(np.array_equal(a[k], b[k]) for k in a)
         bad = [k for k in a if not np.array_equal(a[k], b[k])]
         check(
-            f"mission/bitwise train_keyframe rep{i}",
+            f"mission/bitwise train_keyframe rep{i} (xtp on vs off)",
             ok,
             f"({time.time() - t0:.1f}s)" + (f" diff={bad}" if bad else ""),
+        )
+        # subtile packing: same program twice must be bitwise self-identical
+        # (a kernel write-DMA race is nondeterministic), loss tracks plain
+        t0 = time.time()
+        p1 = run(RasterConfig(subtile_packing=True), i)
+        p2 = run(RasterConfig(subtile_packing=True), i)
+        ok = all(np.array_equal(p1[k], p2[k]) for k in p1)
+        bad = [k for k in p1 if not np.array_equal(p1[k], p2[k])]
+        check(
+            f"mission/bitwise train_keyframe rep{i} (pack self)",
+            ok,
+            f"({time.time() - t0:.1f}s)" + (f" diff={bad}" if bad else ""),
+        )
+        la, lp = float(a["loss"]), float(p1["loss"])
+        rel = abs(la - lp) / max(abs(la), 1e-9)
+        check(
+            f"mission/loss pack vs plain rep{i}",
+            rel < 1e-2,
+            f"plain={la:.6f} pack={lp:.6f} rel={rel:.2e}",
         )
 
 

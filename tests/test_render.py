@@ -19,6 +19,16 @@ from activegs_tpu.render.types import Camera, GaussianAttrs, RasterConfig
 # dense (no binning) and tiled agree exactly
 CFG = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, interpret=True)
 CFG_SMALL_CHUNK = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, chunk=8, interpret=True)
+# subtile packing: 16x16 binning, pair-interleaved [A k/2 | B k/2] chunks,
+# (2, K/2, P/2) kernel math — must match the same oracle
+CFG_PACK = RasterConfig(
+    sigma_extent=3.5,
+    max_dup=16,
+    entry_budget_mult=20.0,
+    chunk=8,
+    subtile_packing=True,
+    interpret=True,
+)
 
 
 def make_camera():
@@ -163,10 +173,65 @@ class TestBinning:
         b = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg)
         assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
 
+    def test_packed_layout_matches_subtile_reference(self):
+        """The pair-interleaved layout must hold, per pair chunk,
+        [ksub entries of subtile A | ksub of B] where each subtile's
+        concatenated half-stream equals the PLAIN binning of the same view
+        at the subtile grid (tile_w/2, chunk/2) followed by -1 padding."""
+        import dataclasses
+
+        h = w = 64
+        cfg_p = CFG_PACK  # chunk=8 -> ksub=4
+        cfg_r = dataclasses.replace(
+            cfg_p,
+            subtile_packing=False,
+            tile_w=cfg_p.tile_w // 2,
+            chunk=cfg_p.chunk // 2,
+        )
+        attrs = make_attrs(80, seed=9)
+        from activegs_tpu.render import preprocess as pp
+
+        params2d, _, depth_z, in_view = pp.preprocess(
+            attrs, make_camera(), (h, w), cfg_p
+        )
+        bp = binning.bin_entries(
+            params2d, depth_z, in_view, (h, w), cfg_p, with_inverse=True
+        )
+        br = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg_r)
+        kc = cfg_p.chunk
+        ks = kc // 2
+        th, tw, ntx, nty = binning.bin_tile_dims((h, w), cfg_p)
+        assert binning.bin_tile_dims((h, w), cfg_r)[2] == ntx
+        assert int(bp.num_dropped) == 0 and int(br.num_dropped) == 0
+        gid_p, sp, lp = (np.asarray(x) for x in (bp.gid, bp.tile_start, bp.tile_len))
+        gid_r, sr, lr = (np.asarray(x) for x in (br.gid, br.tile_start, br.tile_len))
+        ntx_pair = ntx // 2
+        for p in range(ntx_pair * nty):
+            ty, txp = divmod(p, ntx_pair)
+            assert sp[p] % kc == 0 and lp[p] % kc == 0
+            seg = gid_p[sp[p] : sp[p] + lp[p]].reshape(-1, kc)
+            for s in range(2):
+                t = ty * ntx + 2 * txp + s
+                half = seg[:, s * ks : (s + 1) * ks].reshape(-1)
+                ref = gid_r[sr[t] : sr[t] + lr[t]]
+                np.testing.assert_array_equal(half[: len(ref)], ref)
+                assert np.all(half[len(ref) :] == -1)
+            ta = ty * ntx + 2 * txp
+            nch = max(-(-int(lr[ta]) // ks), -(-int(lr[ta + 1]) // ks))
+            assert lp[p] == nch * kc
+        # inverse positions point at their own gaussian's slots
+        inv = np.asarray(bp.inv_pos)
+        for i in range(inv.shape[0]):
+            for j in range(inv.shape[1]):
+                if inv[i, j] >= 0:
+                    assert gid_p[inv[i, j]] == i
+
 
 class TestForward:
     @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
-    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"])
+    @pytest.mark.parametrize(
+        "cfg", [CFG, CFG_SMALL_CHUNK, CFG_PACK], ids=["k128", "k8", "pack"]
+    )
     def test_matches_dense_oracle(self, cfg, xtp):
         # xtp=True pins the cross_tile_prefetch slot arithmetic (slot_of,
         # drain, cross-tile start guards) in interpret mode; DMA races are
@@ -195,14 +260,17 @@ class TestForward:
         assert int(aux["num_dropped"]) == 0
 
     @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
-    def test_opaque_wall_early_termination(self, xtp):
+    @pytest.mark.parametrize(
+        "base", [CFG_SMALL_CHUNK, CFG_PACK], ids=["plain", "pack"]
+    )
+    def test_opaque_wall_early_termination(self, base, xtp):
         # stack many opaque surfels; front ones fully occlude the back
         import dataclasses
 
         attrs = make_attrs(256, seed=2, opaque=True)
         cam = make_camera()
         shape = (64, 64)
-        cfg = dataclasses.replace(CFG_SMALL_CHUNK, cross_tile_prefetch=xtp)
+        cfg = dataclasses.replace(base, cross_tile_prefetch=xtp)
         ref = render_dense(attrs, cam, shape, cfg)
         out, _ = render_view(attrs, cam, shape, cfg)
         np.testing.assert_allclose(
@@ -286,7 +354,9 @@ def _loss_fn(render, attrs, key):
 
 
 class TestBackward:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"])
+    @pytest.mark.parametrize(
+        "cfg", [CFG, CFG_SMALL_CHUNK, CFG_PACK], ids=["k128", "k8", "pack"]
+    )
     def test_grads_match_dense_autodiff(self, cfg):
         attrs = make_attrs(48, seed=7)
         cam = make_camera()
@@ -426,17 +496,18 @@ class TestBackward:
 
 
 class TestStats:
-    def test_importance_count_match_dense(self):
+    @pytest.mark.parametrize("cfg", [CFG, CFG_PACK], ids=["plain", "pack"])
+    def test_importance_count_match_dense(self, cfg):
         attrs = make_attrs(64, seed=11)
         cam = make_camera()
         shape = (64, 64)
         rng = np.random.default_rng(0)
         mask = jnp.asarray((rng.uniform(size=shape) > 0.3).astype(np.float32))
         ref = render_dense(
-            attrs, cam, shape, CFG, front_only=True, render_mask=mask, weight_thres=0.03
+            attrs, cam, shape, cfg, front_only=True, render_mask=mask, weight_thres=0.03
         )
         imp, cnt = render_stats(
-            attrs, cam, shape, CFG, render_mask=mask, weight_thres=0.03
+            attrs, cam, shape, cfg, render_mask=mask, weight_thres=0.03
         )
         np.testing.assert_allclose(
             np.asarray(imp), np.asarray(ref["importance"]), atol=1e-3
@@ -587,7 +658,7 @@ class TestPrebinnedRender:
         assert int(aux["num_dropped"]) > 0
         assert np.isfinite(np.asarray(out.rgb)).all()
 
-    def test_frozen_bins_gradients_match(self, monkeypatch, plan_mode=False):
+    def test_frozen_bins_gradients_match(self, monkeypatch, plan_mode=False, cfg=CFG):
         # gradients through the inverse-position (or, with plan_mode, the
         # sort-plan) gather VJP must equal the plain scatter-add path
         from activegs_tpu.render.renderer import prepare_view_bins
@@ -600,7 +671,7 @@ class TestPrebinnedRender:
         cam = make_camera()
         shape = (64, 64)
         key = jax.random.PRNGKey(3)
-        bins = prepare_view_bins(attrs, cam, shape, CFG, with_inverse=True)
+        bins = prepare_view_bins(attrs, cam, shape, cfg, with_inverse=True)
         if plan_mode:
             assert bins.plan is not None and bins.inv_pos is None
         else:
@@ -614,7 +685,7 @@ class TestPrebinnedRender:
                         "means": means,
                     }
                 )
-                out, _ = render_view(a, cam, shape, CFG, bin_result=bin_result)
+                out, _ = render_view(a, cam, shape, cfg, bin_result=bin_result)
                 return _loss_fn(lambda a_: (out, None), a, key)
 
             return f
@@ -634,6 +705,15 @@ class TestPrebinnedRender:
 
     def test_frozen_bins_gradients_match_plan(self, monkeypatch):
         self.test_frozen_bins_gradients_match(monkeypatch, plan_mode=True)
+
+    def test_frozen_bins_gradients_match_pack_plan(self, monkeypatch):
+        # the packed layout's min-slot head construction under the sort plan
+        self.test_frozen_bins_gradients_match(
+            monkeypatch, plan_mode=True, cfg=CFG_PACK
+        )
+
+    def test_frozen_bins_gradients_match_pack_inv(self, monkeypatch):
+        self.test_frozen_bins_gradients_match(monkeypatch, cfg=CFG_PACK)
 
 
 class TestBf16:
