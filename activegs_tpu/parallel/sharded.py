@@ -24,7 +24,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mapping import gaussians as gm
 from ..mapping.trainer import batch_loss
-from ..render.renderer import render_view
 from ..render.types import Camera, RasterConfig
 
 VIEW_AXIS = "view"
@@ -43,12 +42,22 @@ def make_hybrid_view_mesh() -> Mesh:
     on the same host and the psum tree reduces over ICI before touching
     DCN. Falls back to the flat single-host mesh."""
     if jax.process_count() > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        dm = mesh_utils.create_hybrid_device_mesh(
-            (jax.local_device_count(),), (jax.process_count(),)
-        )
-        return Mesh(dm.reshape(-1), (VIEW_AXIS,))
+            dm = mesh_utils.create_hybrid_device_mesh(
+                (jax.local_device_count(),), (jax.process_count(),)
+            )
+            return Mesh(dm.reshape(-1), (VIEW_AXIS,))
+        except ValueError:
+            # platforms whose devices carry no slice topology (multi-process
+            # CPU runs, tests/test_multiprocess.py): for a 1-D view mesh the
+            # DCN-aware layout IS process-major order — consecutive view
+            # shards share a host, so the psum tree reduces intra-host first
+            import numpy as np
+
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            return Mesh(np.array(devs), (VIEW_AXIS,))
     return make_view_mesh()
 
 
@@ -151,16 +160,16 @@ def sharded_candidate_utility(
     map_cfg: gm.MapConfig,
     raster_cfg: RasterConfig,
     entry_budget: int | None = None,
+    explore_only: bool = False,
 ):
-    """Planner candidate utilities sharded over devices: computes the SAME
-    (explore, exploit) statistics as
-    `planning.confidence._confidence_utility_batch` (`confidence.py:44-103`
-    in the reference) — the visible-and-unexplored voxel fraction and the
-    distance-aware uncertainty — with candidates split over the mesh.
-    Returns (explore (V,), exploit (V,))."""
-    from ..mapping import voxel_map as vm
-
-    num_voxels = grid.num_voxels
+    """Planner candidate utilities sharded over devices: the per-view
+    statistics are `planning.confidence.candidate_view_stats` (the SAME
+    function the single-device batch uses, so the paths can never diverge)
+    with candidates split over the mesh. Returns (explore (V,),
+    exploit (V,))."""
+    # lazy import: planning.confidence imports this module inside methods,
+    # so a module-level import here would be a cycle
+    from ..planning.confidence import candidate_view_stats
 
     @functools.partial(
         jax.shard_map,
@@ -174,28 +183,19 @@ def sharded_candidate_utility(
 
         def one(args):
             extrinsic, valid = args
-            out, _ = render_view(
+            return candidate_view_stats(
                 attrs,
-                Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+                extrinsic,
+                intrinsic,
+                valid,
+                unexplored,
+                depth_range,
+                grid,
                 shape,
                 raster_cfg,
-                entry_budget=entry_budget,
+                entry_budget,
+                explore_only,
             )
-            depth = out.depth[0]
-            conf = out.confidence[0]
-
-            depth_voxel = jnp.where(depth < 0.001, 1e4, depth)
-            depth_voxel = jnp.clip(depth_voxel, depth_range[0], depth_range[1])
-            depth_voxel = jnp.where(valid, depth_voxel, -1.0)
-            visible = vm.visible_mask(None, grid, extrinsic, intrinsic, depth_voxel)
-            explore = jnp.sum(visible & unexplored) / num_voxels
-
-            conf = jnp.where(depth > depth_range[1], 1.0, conf)
-            conf = jnp.where(valid, conf, 1.0)
-            uncertainty = 1.0 - conf
-            depth_surface = jnp.where(depth < 0.001, depth_range[1] * 0.5, depth)
-            exploit = jnp.mean(uncertainty * depth_surface / depth_range[1])
-            return explore, exploit
 
         explore, exploit = jax.lax.map(one, (cands, valid_masks))
         explore = jnp.where(jnp.isnan(explore), 0.0, explore)

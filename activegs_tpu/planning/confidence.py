@@ -48,9 +48,62 @@ def _candidate_entry_stats(
     return jnp.max(jax.lax.map(one, candidates))
 
 
+def candidate_view_stats(
+    attrs,
+    extrinsic,
+    intrinsic,
+    valid,
+    unexplored,
+    depth_range,
+    grid,
+    shape,
+    raster_cfg,
+    entry_budget,
+    explore_only: bool,
+):
+    """(explore, exploit) statistics for ONE candidate view — the
+    visible-and-unexplored voxel fraction (`confidence.py:44-103`,
+    `exploration.py:12-91`) and the distance-aware uncertainty. Shared by
+    the batched and the mesh-sharded paths so they can never diverge;
+    `explore_only` (ExplorationPlanner) skips the exploitation term."""
+    out, _ = render_view(
+        attrs,
+        Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+        shape,
+        raster_cfg,
+        entry_budget=entry_budget,
+    )
+    depth = out.depth[0]
+
+    # exploration: visible-and-unexplored voxel fraction
+    depth_voxel = jnp.where(depth < 0.001, 1e4, depth)
+    depth_voxel = jnp.clip(depth_voxel, depth_range[0], depth_range[1])
+    depth_voxel = jnp.where(valid, depth_voxel, -1.0)
+    visible = vm.visible_mask(None, grid, extrinsic, intrinsic, depth_voxel)
+    explore = jnp.sum(visible & unexplored) / grid.num_voxels
+    if explore_only:
+        return explore, jnp.zeros_like(explore)
+
+    # exploitation: distance-aware uncertainty
+    conf = out.confidence[0]
+    conf = jnp.where(depth > depth_range[1], 1.0, conf)
+    conf = jnp.where(valid, conf, 1.0)
+    uncertainty = 1.0 - conf
+    depth_surface = jnp.where(depth < 0.001, depth_range[1] * 0.5, depth)
+    exploit = jnp.mean(uncertainty * depth_surface / depth_range[1])
+    return explore, exploit
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "shape", "map_cfg", "raster_cfg", "entry_budget"),
+    static_argnames=(
+        "grid",
+        "shape",
+        "map_cfg",
+        "raster_cfg",
+        "entry_budget",
+        "explore_only",
+    ),
 )
 def _confidence_utility_batch(
     gm_state,
@@ -64,38 +117,26 @@ def _confidence_utility_batch(
     map_cfg,
     raster_cfg,
     entry_budget=None,
+    explore_only=False,
 ):
     """Per-candidate (explore, exploit) utilities (`confidence.py:44-103`)."""
     attrs = gm.attrs_of(gm_state, map_cfg)
-    h, w = shape
-    num_voxels = grid.num_voxels
 
     def one(args):
         extrinsic, valid = args
-        out, _ = render_view(
+        return candidate_view_stats(
             attrs,
-            Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+            extrinsic,
+            intrinsic,
+            valid,
+            unexplored,
+            depth_range,
+            grid,
             shape,
             raster_cfg,
-            entry_budget=entry_budget,
+            entry_budget,
+            explore_only,
         )
-        depth = out.depth[0]
-        conf = out.confidence[0]
-
-        # exploration: visible-and-unexplored voxel fraction
-        depth_voxel = jnp.where(depth < 0.001, 1e4, depth)
-        depth_voxel = jnp.clip(depth_voxel, depth_range[0], depth_range[1])
-        depth_voxel = jnp.where(valid, depth_voxel, -1.0)
-        visible = vm.visible_mask(None, grid, extrinsic, intrinsic, depth_voxel)
-        explore = jnp.sum(visible & unexplored) / num_voxels
-
-        # exploitation: distance-aware uncertainty
-        conf = jnp.where(depth > depth_range[1], 1.0, conf)
-        conf = jnp.where(valid, conf, 1.0)
-        uncertainty = 1.0 - conf
-        depth_surface = jnp.where(depth < 0.001, depth_range[1] * 0.5, depth)
-        exploit = jnp.mean(uncertainty * depth_surface / depth_range[1])
-        return explore, exploit
 
     explore, exploit = jax.lax.map(one, (candidates, valid_masks))
     explore = jnp.where(jnp.isnan(explore), 0.0, explore)
@@ -103,66 +144,81 @@ def _confidence_utility_batch(
     return explore, exploit
 
 
+def candidate_utilities(
+    planner: PlanBase, gm_state, vstate, grid, candidates, simulator, explore_only
+):
+    """Candidate (explore, exploit) utilities with the measured entry
+    budget and the mesh-sharded path when a device mesh is available —
+    shared by ConfidencePlanner and ExplorationPlanner so both pay the
+    optimized cost profile. Returns (explore, exploit, seconds)."""
+    h, w = (
+        int(round(planner.cfg.render_ratio * r)) for r in simulator.resolution
+    )
+    valid_masks, _t_sim = planner._candidate_valid_masks(
+        candidates, simulator, (h, w)
+    )
+    t0 = time.time()
+    from ..mapping.trainer import pick_entry_bucket
+
+    max_ents = int(
+        _candidate_entry_stats(
+            gm_state,
+            jnp.asarray(candidates),
+            jnp.asarray(simulator.intrinsic),
+            (h, w),
+            planner.map_cfg,
+            planner.utility_raster_cfg,
+        )
+    )
+    entry_budget = pick_entry_bucket(max_ents)
+    if planner.mesh is not None:
+        from ..parallel.sharded import sharded_candidate_utility
+
+        n = len(candidates)
+        n_dev = planner.mesh.devices.size
+        pad = (-n) % n_dev  # pad to a full shard (repeat last candidate)
+        cands = np.concatenate([candidates, np.repeat(candidates[-1:], pad, 0)])
+        masks = np.concatenate([valid_masks, np.repeat(valid_masks[-1:], pad, 0)])
+        explore, exploit = sharded_candidate_utility(
+            gm_state,
+            vstate.unexplored,
+            jnp.asarray(cands),
+            jnp.asarray(simulator.intrinsic),
+            jnp.asarray(masks),
+            jnp.asarray(simulator.depth_range, jnp.float32),
+            planner.mesh,
+            grid,
+            (h, w),
+            planner.map_cfg,
+            planner.utility_raster_cfg,
+            entry_budget=entry_budget,
+            explore_only=explore_only,
+        )
+        explore, exploit = explore[:n], exploit[:n]
+    else:
+        explore, exploit = _confidence_utility_batch(
+            gm_state,
+            vstate.unexplored,
+            jnp.asarray(candidates),
+            jnp.asarray(simulator.intrinsic),
+            jnp.asarray(valid_masks),
+            jnp.asarray(simulator.depth_range, jnp.float32),
+            grid,
+            (h, w),
+            planner.map_cfg,
+            planner.utility_raster_cfg,
+            entry_budget=entry_budget,
+            explore_only=explore_only,
+        )
+    return np.asarray(explore), np.asarray(exploit), time.time() - t0
+
+
 class ConfidencePlanner(PlanBase):
     """utility = explore_weight * explore + exploit (`confidence.py:105-108`)."""
 
     def cal_utility(self, gm_state, vstate, grid, candidates, simulator):
-        h, w = (
-            int(round(self.cfg.render_ratio * r)) for r in simulator.resolution
+        explore, exploit, t = candidate_utilities(
+            self, gm_state, vstate, grid, candidates, simulator, explore_only=False
         )
-        valid_masks, t_sim = self._candidate_valid_masks(
-            candidates, simulator, (h, w)
-        )
-        t0 = time.time()
-        from ..mapping.trainer import pick_entry_bucket
-
-        max_ents = int(
-            _candidate_entry_stats(
-                gm_state,
-                jnp.asarray(candidates),
-                jnp.asarray(simulator.intrinsic),
-                (h, w),
-                self.map_cfg,
-                self.utility_raster_cfg,
-            )
-        )
-        entry_budget = pick_entry_bucket(max_ents)
-        if self.mesh is not None:
-            from ..parallel.sharded import sharded_candidate_utility
-
-            n = len(candidates)
-            n_dev = self.mesh.devices.size
-            pad = (-n) % n_dev  # pad to a full shard (repeat last candidate)
-            cands = np.concatenate([candidates, np.repeat(candidates[-1:], pad, 0)])
-            masks = np.concatenate([valid_masks, np.repeat(valid_masks[-1:], pad, 0)])
-            explore, exploit = sharded_candidate_utility(
-                gm_state,
-                vstate.unexplored,
-                jnp.asarray(cands),
-                jnp.asarray(simulator.intrinsic),
-                jnp.asarray(masks),
-                jnp.asarray(simulator.depth_range, jnp.float32),
-                self.mesh,
-                grid,
-                (h, w),
-                self.map_cfg,
-                self.utility_raster_cfg,
-                entry_budget=entry_budget,
-            )
-            explore, exploit = explore[:n], exploit[:n]
-        else:
-            explore, exploit = _confidence_utility_batch(
-                gm_state,
-                vstate.unexplored,
-                jnp.asarray(candidates),
-                jnp.asarray(simulator.intrinsic),
-                jnp.asarray(valid_masks),
-                jnp.asarray(simulator.depth_range, jnp.float32),
-                grid,
-                (h, w),
-                self.map_cfg,
-                self.utility_raster_cfg,
-                entry_budget=entry_budget,
-            )
-        utility = self.cfg.explore_weight * np.asarray(explore) + np.asarray(exploit)
-        return utility, time.time() - t0
+        utility = self.cfg.explore_weight * explore + exploit
+        return utility, t

@@ -1,34 +1,19 @@
 """Exploration planner: visible-unexplored-voxel utility only
-(`planning/exploration.py`)."""
+(`planning/exploration.py:12-91`)."""
 
 from __future__ import annotations
 
-import time
-
-import jax.numpy as jnp
-import numpy as np
-
-from .confidence import _confidence_utility_batch
+from .confidence import candidate_utilities
 from .planner import PlanBase
 
 
 class ExplorationPlanner(PlanBase):
     def cal_utility(self, gm_state, vstate, grid, candidates, simulator):
-        h, w = (
-            int(round(self.cfg.render_ratio * r)) for r in simulator.resolution
+        # shares the confidence planner's machinery (measured entry budget,
+        # mesh-sharded candidate renders) with the exploitation term
+        # statically skipped — exploration missions pay the same optimized
+        # cost profile
+        explore, _, t = candidate_utilities(
+            self, gm_state, vstate, grid, candidates, simulator, explore_only=True
         )
-        valid_masks, _ = self._candidate_valid_masks(candidates, simulator, (h, w))
-        t0 = time.time()
-        explore, _ = _confidence_utility_batch(
-            gm_state,
-            vstate.unexplored,
-            jnp.asarray(candidates),
-            jnp.asarray(simulator.intrinsic),
-            jnp.asarray(valid_masks),
-            jnp.asarray(simulator.depth_range, jnp.float32),
-            grid,
-            (h, w),
-            self.map_cfg,
-            self.utility_raster_cfg,
-        )
-        return np.asarray(explore), time.time() - t0
+        return explore, t

@@ -167,6 +167,19 @@ class TestShardedMission:
         np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e_ref), atol=1e-6)
         np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=1e-6)
 
+        # exploration parity (explore_only kernel): explore must match the
+        # confidence run exactly, exploit is statically zero on both paths
+        e_xo, x_xo = _confidence_utility_batch(
+            *args, grid, (res, res), cfg, raster, explore_only=True
+        )
+        e_xo_sh, x_xo_sh = sharded_candidate_utility(
+            *args, mesh, grid, (res, res), cfg, raster, explore_only=True
+        )
+        np.testing.assert_allclose(np.asarray(e_xo), np.asarray(e_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_xo_sh), np.asarray(e_ref), atol=1e-6)
+        assert float(np.abs(x_xo).max()) == 0.0
+        assert float(np.abs(x_xo_sh).max()) == 0.0
+
     def test_scaling_bench_harness(self):
         """The scaling-efficiency harness (bench.py --scaling) runs on the
         virtual mesh and reports one entry per power-of-two mesh size with
