@@ -41,7 +41,18 @@ def init_distributed() -> bool:
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     ):
         return False
-    jax.distributed.initialize()
+    # explicit coordinator env vars (a localhost multi-process run, e.g.
+    # tests/mp_child.py) take precedence over cloud auto-detection
+    kwargs = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and os.environ.get(
+        "JAX_NUM_PROCESSES"
+    ):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
     return True
 
 
