@@ -223,12 +223,15 @@ def _voxel_dedup_mask(points: jnp.ndarray, select: jnp.ndarray, voxel: float):
     return keep & select
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "raster_cfg", "render_bucket")
+)
 def spawn(
     state: GaussianMapState,
     frame: dict,
     cfg: MapConfig,
     raster_cfg: RasterConfig,
+    render_bucket: int | None = None,
 ):
     """Spawn new surfels from a posed RGB-D frame.
 
@@ -241,6 +244,13 @@ def spawn(
 
     The is-initialized branch of the reference is subsumed: an empty map
     renders opacity 0, which makes the spawn mask all-true.
+
+    `render_bucket` (static, >= count) runs the internal error-mask render
+    on the sliced live prefix instead of the full-capacity state — exact,
+    because live gaussians occupy [0, count) and the render composites the
+    same set — so its binning/gather costs scale with the capacity bucket
+    like every other mission render. The append scatter still targets the
+    full state (it needs the headroom).
     """
     rgb = frame["rgb"]  # (3, H, W)
     depth = frame["depth"]  # (1, H, W)
@@ -264,8 +274,9 @@ def spawn(
 
     # error mask from the current rendering (`cal_mask`)
     cam = Camera(extrinsic=extrinsic, intrinsic=intrinsic)
+    rstate = state if render_bucket is None else slice_state(state, render_bucket)
     pred, _ = render_view(
-        jax.lax.stop_gradient(attrs_of(state, cfg)),
+        jax.lax.stop_gradient(attrs_of(rstate, cfg)),
         cam,
         (h, w),
         raster_cfg,

@@ -133,8 +133,17 @@ class IncrementalMapper:
             phase_t[name] = time.time() - t0 - sum(phase_t.values())
 
         # gaussian map update (`GaussianMap.update`, `gaussian_map.py:62-64`)
+        # spawn's error-mask render runs on the pre-spawn capacity bucket —
+        # exact (live prefix unchanged) but scales with the bucket, not the
+        # full capacity; the append itself targets the full state
         self.gm_state, n_new = gm.spawn(
-            self.gm_state, frame, self.map_cfg, self.raster_cfg
+            self.gm_state,
+            frame,
+            self.map_cfg,
+            self.raster_cfg,
+            render_bucket=gm.bucket_capacity(
+                int(self.gm_state.count), self.map_cfg.capacity
+            ),
         )
         n_new = int(n_new)
         self.keyframes = kfb.add_frame(self.keyframes, frame)
