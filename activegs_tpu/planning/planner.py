@@ -74,6 +74,10 @@ class PlanBase:
         # utilities shard over devices (parallel/sharded.py); set by the
         # mission wiring when more than one device is visible
         self.mesh = None
+        # scene-overlay stashes (filled by plan(); viewer-facing)
+        self.last_candidates: Optional[np.ndarray] = None
+        self.last_scores: Optional[np.ndarray] = None
+        self.last_nbv: Optional[np.ndarray] = None
         self.utility_raster_cfg = dataclasses.replace(
             raster_cfg,
             max_dup=cfg.utility_max_dup,
@@ -255,6 +259,12 @@ class PlanBase:
             scores = self.cal_view_scores(np.asarray(utilities), lengths)
             nbv_id = int(np.argmax(scores))
             nbv = candidates[nbv_id]
+            # stash for the viewer's scene overlay (candidate frusta /
+            # chosen NBV, the reference GUI's mission-debugging draw set,
+            # `visualization/gui.py:416-520`)
+            self.last_candidates = candidates
+            self.last_scores = np.asarray(scores)
+            self.last_nbv = np.asarray(nbv)
             wp = wp_list[nbv_id]
             if len(wp) == 0:  # unreachable best view: stay in place
                 waypoints = self.pose[None, :3, 3]

@@ -88,6 +88,78 @@ def voxel_top_view(vstate, grid, voxel_cfg, px_per_voxel: int = 4) -> np.ndarray
     return (img * 255).astype(np.uint8)
 
 
+def _draw_line(img: np.ndarray, p0, p1, color, px: int) -> None:
+    """Sample-based line draw in voxel-pixel coords ((row, col) floats)."""
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1])) * 2) + 2
+    t = np.linspace(0.0, 1.0, n)
+    rows = np.clip((p0[0] + t * (p1[0] - p0[0])).astype(int), 0, img.shape[0] - 1)
+    cols = np.clip((p0[1] + t * (p1[1] - p0[1])).astype(int), 0, img.shape[1] - 1)
+    img[rows, cols] = color
+
+
+def _draw_dot(img: np.ndarray, p, color, r: int = 1) -> None:
+    r0 = slice(max(int(p[0]) - r, 0), int(p[0]) + r + 1)
+    c0 = slice(max(int(p[1]) - r, 0), int(p[1]) + r + 1)
+    img[r0, c0] = color
+
+
+def scene_overlay(
+    vstate,
+    grid,
+    voxel_cfg,
+    exec_path: np.ndarray | None = None,
+    planned_path: np.ndarray | None = None,
+    candidates: np.ndarray | None = None,
+    nbv: np.ndarray | None = None,
+    camera=None,
+    px_per_voxel: int = 4,
+    frustum_len: float = 1.5,
+) -> np.ndarray:
+    """Voxel top view + mission-debugging overlays — the 2D projection of
+    the reference GUI's 3D scene draw set (`visualization/gui.py:416-520`):
+    executed path (white), planned path (yellow), candidate poses (cyan
+    dots), chosen NBV (magenta), and the current camera frustum footprint
+    (orange FOV wedge). World (x, y) maps to image (row, col)."""
+    img = voxel_top_view(vstate, grid, voxel_cfg, px_per_voxel).astype(
+        np.float32
+    ) / 255.0
+    bbox_min = np.asarray(grid.bbox_min)[:2]
+    size = np.asarray(grid.size)[:2]
+
+    def to_px(pos):
+        pos = np.asarray(pos, np.float32).reshape(-1, 3)
+        return (pos[:, :2] - bbox_min) / size * px_per_voxel
+
+    if exec_path is not None and len(exec_path) > 1:
+        pts = to_px(exec_path)
+        for a, b in zip(pts[:-1], pts[1:]):
+            _draw_line(img, a, b, [1.0, 1.0, 1.0], px_per_voxel)
+    if planned_path is not None and len(planned_path) > 1:
+        pts = to_px(np.asarray(planned_path)[:, :3, 3])
+        for a, b in zip(pts[:-1], pts[1:]):
+            _draw_line(img, a, b, [1.0, 0.9, 0.1], px_per_voxel)
+    if candidates is not None and len(candidates):
+        for p in to_px(np.asarray(candidates)[:, :3, 3]):
+            _draw_dot(img, p, [0.1, 0.9, 0.95], r=1)
+    if nbv is not None:
+        _draw_dot(img, to_px(np.asarray(nbv)[:3, 3])[0], [1.0, 0.2, 1.0], r=2)
+    if camera is not None:
+        ext = np.asarray(camera.extrinsic, np.float32)
+        intr = np.asarray(camera.intrinsic, np.float32)
+        # FOV edge rays in the camera xz-plane, world-projected to (x, y)
+        half = np.arctan2(intr[0, 2], intr[0, 0])
+        origin = ext[:3, 3]
+        for s in (-1.0, 1.0):
+            d = ext[:3, :3] @ np.array(
+                [np.sin(s * half), 0.0, np.cos(s * half)], np.float32
+            )
+            tip = origin + frustum_len * d
+            _draw_line(img, to_px(origin)[0], to_px(tip)[0], [1.0, 0.55, 0.1],
+                       px_per_voxel)
+        _draw_dot(img, to_px(origin)[0], [1.0, 0.55, 0.1], r=2)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 class MissionViewer:
     """Hooked into IncrementalMapper.step; writes per-step panels."""
 

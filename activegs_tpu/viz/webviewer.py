@@ -29,7 +29,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from ..render.types import Camera
-from .viewer import _colormap, render_channel_panel, voxel_top_view
+from .viewer import _colormap, render_channel_panel, scene_overlay, voxel_top_view
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>active-gs-tpu live viewer</title>
@@ -48,11 +48,13 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <div style="display:flex; gap:2em">
  <div><b>voxel top view</b><br><img id="voxel" src="/voxel.png" width="320"></div>
+ <div><b>scene overlay</b> (exec path | planned | candidates | NBV | frustum)<br>
+  <img id="scene" src="/scene.png" width="320"></div>
  <div><b>fly-cam</b> (click image, then WASD move / arrows rotate / QE up-down)<br>
   <img id="fly" src="/fly.png" width="384" tabindex="0"><br>
   channel: <select id="chan">
    <option>rgb</option><option>depth</option><option>confidence</option>
-   <option>opacity</option><option>normal</option>
+   <option>opacity</option><option>normal</option><option>d2n</option>
   </select>
   <button onclick="resetFly()">reset pose</button>
  </div>
@@ -78,6 +80,7 @@ document.getElementById('chan').addEventListener('change', refreshFly);
 setInterval(() => {
   document.getElementById('panel').src = '/panel.png?t=' + Date.now();
   document.getElementById('voxel').src = '/voxel.png?t=' + Date.now();
+  document.getElementById('scene').src = '/scene.png?t=' + Date.now();
   fetch('/stats.json').then(r => r.json()).then(s => {
     document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
   });
@@ -104,7 +107,9 @@ class WebViewer:
         self._lock = threading.Lock()
         self._panel: bytes | None = None
         self._voxel: bytes | None = None
+        self._scene: bytes | None = None
         self._stats: dict = {}
+        self._exec_path: list = []
         self._mapper = None
         self._base_pose: np.ndarray | None = None
         self._intrinsic = None
@@ -147,6 +152,13 @@ class WebViewer:
                             self._send(404, "text/plain", b"no voxel view yet")
                         else:
                             self._send(200, "image/png", img)
+                    elif url.path == "/scene.png":
+                        with viewer._lock:
+                            img = viewer._scene
+                        if img is None:
+                            self._send(404, "text/plain", b"no scene view yet")
+                        else:
+                            self._send(200, "image/png", img)
                     elif url.path == "/fly.png":
                         q = {k: v[0] for k, v in parse_qs(url.query).items()}
                         body = viewer._render_fly(q)
@@ -179,6 +191,18 @@ class WebViewer:
             depth_range=tuple(np.asarray(frame["depth_range"]).tolist()),
         )
         top = voxel_top_view(mapper.vm_state, mapper.grid, mapper.voxel_cfg)
+        self._exec_path.append(np.asarray(frame["extrinsic"][:3, 3], np.float32))
+        planner = mapper.planner
+        scene = scene_overlay(
+            mapper.vm_state,
+            mapper.grid,
+            mapper.voxel_cfg,
+            exec_path=np.stack(self._exec_path),
+            planned_path=np.asarray(path) if path is not None else None,
+            candidates=getattr(planner, "last_candidates", None),
+            nbv=getattr(planner, "last_nbv", None),
+            camera=cam,
+        )
         with self._lock:
             self._mapper = mapper
             self._base_pose = np.asarray(frame["extrinsic"], np.float32)
@@ -186,6 +210,7 @@ class WebViewer:
             self._depth_range = tuple(np.asarray(frame["depth_range"]).tolist())
             self._panel = _png_bytes(panel)
             self._voxel = _png_bytes(top)
+            self._scene = _png_bytes(scene)
             self._stats = dict(stats)
 
     # ---- fly-cam ----
@@ -226,6 +251,13 @@ class WebViewer:
             img = _colormap(np.asarray(out.opacity[0]), 0, 1)
         elif chan == "normal":
             img = 0.5 * (np.asarray(out.normal).transpose(1, 2, 0) + 1.0)
+        elif chan == "d2n":
+            from ..core.image_ops import depth_to_normal
+
+            d2n = np.asarray(
+                depth_to_normal(out.depth[0], out.opacity[0] > 1e-2, intr)
+            )
+            img = 0.5 * (d2n + 1.0)
         else:
             img = np.clip(np.asarray(out.rgb).transpose(1, 2, 0), 0, 1)
         return _png_bytes((np.clip(img, 0, 1) * 255).astype(np.uint8))

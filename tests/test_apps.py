@@ -168,6 +168,18 @@ class TestWebViewer:
             assert code == 200 and body[:4] == b"\x89PNG"
             code, ctype, body = get("/fly.png?chan=rgb")
             assert code == 200 and body[:4] == b"\x89PNG"
+            # full reference-GUI channel set incl. depth-to-normal
+            code, ctype, body = get("/fly.png?chan=d2n")
+            assert code == 200 and body[:4] == b"\x89PNG"
+            # scene overlay (VERDICT r2 #9): step 1 draws exec path/frustum
+            code, ctype, body = get("/scene.png")
+            assert code == 200 and body[:4] == b"\x89PNG"
+            # step 2 plans for real -> candidate dots + NBV reach the stash
+            mapper.step()
+            assert planner.last_candidates is not None
+            assert planner.last_nbv is not None
+            code, ctype, body = get("/scene.png")
+            assert code == 200 and body[:4] == b"\x89PNG"
             import urllib.error
 
             try:
