@@ -161,6 +161,7 @@ def sharded_candidate_utility(
     raster_cfg: RasterConfig,
     entry_budget: int | None = None,
     explore_only: bool = False,
+    subset_bucket: int | None = None,
 ):
     """Planner candidate utilities sharded over devices: the per-view
     statistics are `planning.confidence.candidate_view_stats` (the SAME
@@ -170,6 +171,7 @@ def sharded_candidate_utility(
     # lazy import: planning.confidence imports this module inside methods,
     # so a module-level import here would be a cycle
     from ..planning.confidence import candidate_view_stats
+    from ..render.renderer import pack_attrs
 
     @functools.partial(
         jax.shard_map,
@@ -180,6 +182,7 @@ def sharded_candidate_utility(
     )
     def run(gm_state, unexplored, cands, intrinsic, valid_masks, depth_range):
         attrs = gm.attrs_of(gm_state, map_cfg)
+        packed = pack_attrs(attrs) if subset_bucket is not None else None
 
         def one(args):
             extrinsic, valid = args
@@ -195,6 +198,8 @@ def sharded_candidate_utility(
                 raster_cfg,
                 entry_budget,
                 explore_only,
+                subset_bucket,
+                packed,
             )
 
         explore, exploit = jax.lax.map(one, (cands, valid_masks))

@@ -88,6 +88,37 @@ def main():
     t = timed(run, state)
     print(f"utility batch ({n_cand} cands): {t:7.1f} ms  ({t/n_cand:5.2f} ms/cand)")
 
+    # the wired path: measured entry budget + per-candidate subset compaction
+    # (candidate_utilities picks both; this times the underlying batch)
+    from activegs_tpu.mapping.trainer import pick_entry_bucket, pick_subset_bucket
+
+    max_ents, max_iv = (
+        int(x)
+        for x in cp._candidate_entry_stats(
+            state, jnp.asarray(cands), jnp.asarray(intr), (res, res), cfg, rcfg
+        )
+    )
+    eb = pick_entry_bucket(max_ents)
+    sb = pick_subset_bucket(max_iv, cap_b)
+    print(f"measured: entries {max_ents} -> budget {eb}; in-view {max_iv} -> subset {sb}")
+
+    run_c = lambda st: cp._confidence_utility_batch(
+        st,
+        vstate.unexplored,
+        jnp.asarray(cands),
+        jnp.asarray(intr),
+        jnp.asarray(valid),
+        depth_range,
+        grid,
+        (res, res),
+        cfg,
+        rcfg,
+        entry_budget=eb,
+        subset_bucket=sb,
+    )
+    t = timed(run_c, state)
+    print(f"utility batch compacted      : {t:7.1f} ms  ({t/n_cand:5.2f} ms/cand)")
+
     # render-only portion
     attrs = gm.attrs_of(state, cfg)
 

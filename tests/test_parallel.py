@@ -180,6 +180,19 @@ class TestShardedMission:
         assert float(np.abs(x_xo).max()) == 0.0
         assert float(np.abs(x_xo_sh).max()) == 0.0
 
+        # per-candidate in-view compaction (VERDICT r2 #5) is EXACT:
+        # out-of-view gaussians contribute nothing to a candidate render
+        e_c, x_c = _confidence_utility_batch(
+            *args, grid, (res, res), cfg, raster, subset_bucket=64
+        )
+        e_c_sh, x_c_sh = sharded_candidate_utility(
+            *args, mesh, grid, (res, res), cfg, raster, subset_bucket=64
+        )
+        np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_c_sh), np.asarray(e_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_c_sh), np.asarray(x_ref), atol=1e-6)
+
     def test_scaling_bench_harness(self):
         """The scaling-efficiency harness (bench.py --scaling) runs on the
         virtual mesh and reports one entry per power-of-two mesh size with
