@@ -176,8 +176,9 @@ class RasterConfig:
     # pair-balance padding DOUBLE the entry stream (57k -> 115k), so real
     # pair-evals only drop ~27% while DMA chunks grow ~44% and the extra
     # placement sort costs ~19 ms/keyframe (scripts/ab_pack.py numbers,
-    # NOTES_ROUNDS r3). Revisit at higher surfel density, where the fixed
-    # per-subtile padding floor amortizes.
+    # NOTES_ROUNDS r3). Also measured at 2x density (400k surfels):
+    # 31.2 -> 29.7 Mrays/s — still negative; treat the lever as closed
+    # unless the workload's per-subtile entry counts grow well past ~128.
     subtile_packing: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 

@@ -57,6 +57,10 @@ _PAGE = """<!DOCTYPE html>
    <option>opacity</option><option>normal</option><option>d2n</option>
   </select>
   <button onclick="resetFly()">reset pose</button>
+  <button onclick="fetch('/record_pose'+flyUrl().slice(8)).then(r=>r.json())
+    .then(s=>{document.getElementById('rec').textContent=s.count+' recorded';})">
+    record pose</button>
+  <a href="/poses.json" style="color:#8c8" id="rec">0 recorded</a>
  </div>
 </div>
 <script>
@@ -110,6 +114,7 @@ class WebViewer:
         self._scene: bytes | None = None
         self._stats: dict = {}
         self._exec_path: list = []
+        self._poses: list = []  # GUI-recorded fly-cam poses (4x4 lists)
         self._mapper = None
         self._base_pose: np.ndarray | None = None
         self._intrinsic = None
@@ -166,6 +171,23 @@ class WebViewer:
                             self._send(404, "text/plain", b"mission not started")
                         else:
                             self._send(200, "image/png", body)
+                    elif url.path == "/record_pose":
+                        # GUI-driven pose recording (`gui.py:836-963`): the
+                        # current fly-cam pose appends to a downloadable list
+                        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                        n = viewer._record_pose(q)
+                        if n is None:
+                            self._send(404, "text/plain", b"mission not started")
+                        else:
+                            self._send(
+                                200,
+                                "application/json",
+                                json.dumps({"count": n}).encode(),
+                            )
+                    elif url.path == "/poses.json":
+                        with viewer._lock:
+                            body = json.dumps(viewer._poses).encode()
+                        self._send(200, "application/json", body)
                     else:
                         self._send(404, "text/plain", b"not found")
                 except BrokenPipeError:
@@ -215,19 +237,16 @@ class WebViewer:
 
     # ---- fly-cam ----
 
-    def _render_fly(self, q: dict) -> bytes | None:
+    def _fly_pose(self, q: dict) -> np.ndarray | None:
+        """Fly-cam extrinsic from pose-offset query params (None before the
+        first mission step)."""
         with self._lock:
-            mapper = self._mapper
             base = self._base_pose
-            intr = self._intrinsic
-            depth_range = self._depth_range
-        if mapper is None or base is None:
+        if base is None:
             return None
         dx = float(q.get("dx", 0)); dy = float(q.get("dy", 0))
         dz = float(q.get("dz", 0))
         yaw = float(q.get("yaw", 0)); pitch = float(q.get("pitch", 0))
-        chan = q.get("chan", "rgb")
-
         ext = base.copy()
         # camera-frame translation (x right, y down, z forward — OpenCV)
         ext[:3, 3] += ext[:3, :3] @ np.array([dx, dy, dz], np.float32)
@@ -236,6 +255,25 @@ class WebViewer:
         ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
         ext[:3, :3] = ext[:3, :3] @ ry @ rx
+        return ext
+
+    def _record_pose(self, q: dict) -> int | None:
+        ext = self._fly_pose(q)
+        if ext is None:
+            return None
+        with self._lock:
+            self._poses.append(np.asarray(ext, np.float64).tolist())
+            return len(self._poses)
+
+    def _render_fly(self, q: dict) -> bytes | None:
+        with self._lock:
+            mapper = self._mapper
+            intr = self._intrinsic
+            depth_range = self._depth_range
+        ext = self._fly_pose(q)
+        if mapper is None or ext is None:
+            return None
+        chan = q.get("chan", "rgb")
 
         from ..mapping import gaussians as gm
         from ..render.renderer import render_view

@@ -174,6 +174,17 @@ class TestWebViewer:
             # scene overlay (VERDICT r2 #9): step 1 draws exec path/frustum
             code, ctype, body = get("/scene.png")
             assert code == 200 and body[:4] == b"\x89PNG"
+            # GUI-driven pose recording (reference `gui.py:836-963`)
+            code, _, body = get("/record_pose?dx=0.1&yaw=0.2")
+            assert code == 200 and json.loads(body)["count"] == 1
+            code, _, body = get("/record_pose?dz=-0.3")
+            assert code == 200 and json.loads(body)["count"] == 2
+            code, _, body = get("/poses.json")
+            poses = json.loads(body)
+            assert len(poses) == 2 and np.asarray(poses[0]).shape == (4, 4)
+            # recorded poses stay valid SE(3): orthonormal rotation block
+            r = np.asarray(poses[0])[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
             # step 2 plans for real -> candidate dots + NBV reach the stash
             mapper.step()
             assert planner.last_candidates is not None
