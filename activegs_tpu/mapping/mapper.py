@@ -232,6 +232,7 @@ class IncrementalMapper:
             "subset_bucket": subset_bucket,
             "entry_budget": entry_budget,
             "phase_times": {k: round(v, 3) for k, v in phase_t.items()},
+            "plan_times": dict(getattr(self.planner, "last_plan_times", {})),
         }
 
         if self.viewer is not None:

@@ -203,6 +203,7 @@ def candidate_utilities(
     )
     entry_budget = pick_entry_bucket(max_ents)
     subset_bucket = pick_subset_bucket(max_iv, gm_state.capacity)
+    t_stats = time.time() - t0
     if planner.mesh is not None:
         from ..parallel.sharded import sharded_candidate_utility
 
@@ -244,7 +245,14 @@ def candidate_utilities(
             explore_only=explore_only,
             subset_bucket=subset_bucket,
         )
-    return np.asarray(explore), np.asarray(exploit), time.time() - t0
+    explore, exploit = np.asarray(explore), np.asarray(exploit)
+    t = time.time() - t0
+    # sub-phase telemetry (merged into step_stats plan_times by plan())
+    planner.last_utility_times = {
+        "stats": round(t_stats, 3),
+        "batch": round(t - t_stats, 3),
+    }
+    return explore, exploit, t
 
 
 class ConfidencePlanner(PlanBase):

@@ -78,6 +78,7 @@ class PlanBase:
         self.last_candidates: Optional[np.ndarray] = None
         self.last_scores: Optional[np.ndarray] = None
         self.last_nbv: Optional[np.ndarray] = None
+        self.last_plan_times: dict = {}
         self.utility_raster_cfg = dataclasses.replace(
             raster_cfg,
             max_dup=cfg.utility_max_dup,
@@ -86,9 +87,12 @@ class PlanBase:
 
     # ---- candidate generation (`plan_base.py:131-206`) ----
 
-    def generate_random_candidates(self, vstate, grid, num: int) -> np.ndarray:
+    def generate_random_candidates(
+        self, vstate, grid, num: int, free: np.ndarray | None = None
+    ) -> np.ndarray:
         centers = np.asarray(grid.centers)
-        free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
+        if free is None:
+            free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
         within = (
             np.linalg.norm(centers - self.pose[:3, 3], axis=1) <= self.cfg.radius
         )
@@ -100,14 +104,17 @@ class PlanBase:
         picks = valid[self.rng.integers(0, len(valid), size=num)]
         return paths.inplace_rotation(picks, self.cfg.pitch_angle, self.rng)
 
-    def generate_roi_candidates(self, vstate, grid, num: int) -> np.ndarray:
+    def generate_roi_candidates(
+        self, vstate, grid, num: int, free: np.ndarray | None = None
+    ) -> np.ndarray:
         """Cone samples around ROI voxels, nearest ROI first, <= 5 per ROI
         (`plan_base.py:152-206`)."""
         roi = np.asarray(vstate.roi_mask)
         if roi.sum() == 0:
             return np.zeros((0, 4, 4), np.float32)
         centers = np.asarray(grid.centers)
-        free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
+        if free is None:
+            free = np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
         free_mask_grid = np.asarray(
             vm.free_mask(vstate, self.voxel_cfg)
         ).reshape(grid.dim)
@@ -202,13 +209,18 @@ class PlanBase:
                 np.linalg.norm(centers - self.pose[:3, 3], axis=1)
                 < self.cfg.robot_size
             )
-            traversable = (
-                np.asarray(vm.free_mask_w_margin(vstate, grid, self.voxel_cfg))
-                | robot_space
+            # one device pull serves traversability AND both candidate
+            # generators (update_utility annotates ROI fields only — the
+            # occupancy-derived free mask is unaffected); each extra jitted
+            # call costs a full dispatch+transfer roundtrip on this stack
+            free_margin = np.asarray(
+                vm.free_mask_w_margin(vstate, grid, self.voxel_cfg)
             )
+            traversable = free_margin | robot_space
             if self.graph is None:
                 self.graph = VoxelGraph(grid.size, grid.dim)
             self.graph.update_graph(traversable)
+            t_masks = time.time() - t0
 
             if self.cfg.max_roi_sample_num > 0:
                 import jax
@@ -227,19 +239,23 @@ class PlanBase:
                 )
                 self.last_vstate = vstate  # ROI/normals for GUI + inspection
                 roi_candidates = self.generate_roi_candidates(
-                    vstate, grid, self.cfg.max_roi_sample_num
+                    vstate, grid, self.cfg.max_roi_sample_num, free=free_margin
                 )
             else:
                 roi_candidates = np.zeros((0, 4, 4), np.float32)
 
             n_random = self.cfg.sample_num - len(roi_candidates)
             random_candidates = (
-                self.generate_random_candidates(vstate, grid, n_random)
+                self.generate_random_candidates(
+                    vstate, grid, n_random, free=free_margin
+                )
                 if n_random > 0
                 else np.zeros((0, 4, 4), np.float32)
             )
             candidates = np.concatenate([roi_candidates, random_candidates])
-            t_planning += time.time() - t0
+            t_gen = time.time() - t0
+            t_planning += t_gen
+            t_roi_rand = t_gen - t_masks
 
             utilities, t_utility = self.cal_utility(
                 gm_state, vstate, grid, candidates, simulator
@@ -254,7 +270,21 @@ class PlanBase:
                 np.asarray(grid.bbox_min),
                 np.asarray(grid.size),
             )
-            t_planning += time.time() - t0
+            t_astar = time.time() - t0
+            t_planning += t_astar
+            # phase telemetry for step_stats (observability: which planner
+            # phase dominates — candidate gen incl. ROI/update_utility,
+            # utility renders, or A*)
+            self.last_plan_times = {
+                "masks": round(t_masks, 3),
+                "roi_rand": round(t_roi_rand, 3),
+                "utility": round(t_utility, 3),
+                "astar": round(t_astar, 3),
+                **{
+                    f"utility_{k}": v
+                    for k, v in getattr(self, "last_utility_times", {}).items()
+                },
+            }
 
             scores = self.cal_view_scores(np.asarray(utilities), lengths)
             nbv_id = int(np.argmax(scores))

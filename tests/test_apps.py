@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from activegs_tpu.sim.replay import ReplaySimulator
 from activegs_tpu.sim.synthetic import BoxRoomSimulator
@@ -203,10 +204,14 @@ class TestWebViewer:
 
 
 class TestMainCLI:
-    def test_main_entry_end_to_end(self, tmp_path, monkeypatch):
+    @pytest.mark.parametrize("planner", ["confidence", "exploration"])
+    def test_main_entry_end_to_end(self, tmp_path, monkeypatch, planner):
         """Drive the REAL mission entry (apps/main.py) through parse_cli ->
         build_mission -> run, at tiny shapes (VERDICT r1 weak #8: the CLI
-        wiring was untested). Checks the experiment directory artifacts."""
+        wiring was untested). Checks the experiment directory artifacts.
+        Parametrized over both measured-budget planners (the exploration
+        planner shares the confidence machinery since r3 — this pins the
+        whole mission route for it, not just the utility parity)."""
         import sys
 
         from activegs_tpu.apps import main as main_app
@@ -214,7 +219,7 @@ class TestMainCLI:
         out = str(tmp_path / "exp")
         argv = [
             "main",
-            "planner=confidence",
+            f"planner={planner}",
             "simulator.resolution=[32,32]",
             "mapper.gaussian_map.capacity=4096",
             "mapper.gaussian_map.optimization_steps=2",
