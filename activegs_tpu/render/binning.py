@@ -418,6 +418,17 @@ def bin_entries(
             (payload_fin, jnp.arange(e_alloc_fin, dtype=jnp.int32)), num_keys=1
         )
         posm = pos[e_alloc_fin - dense :].reshape(n, max_dup)
+        if pack:
+            # a budget-truncated packed entry (dest >= e_budget) can still
+            # sort to a position < e_budget when the final layout leaves
+            # slot gaps; only positions whose slot actually RECEIVED this
+            # gaussian (gid matches) are valid inverse targets — otherwise
+            # inv would alias a dummy slot (zero row: gradients would still
+            # be right by coincidence, but the inv->own-gid invariant and
+            # any payload reader would break)
+            own = jnp.arange(n, dtype=jnp.int32)[:, None]
+            placed = gid[jnp.clip(posm, 0, e_budget - 1)] == own
+            posm = jnp.where(placed, posm, e_budget)
         if dense <= INV_LINEAR_MAX:
             inv = jnp.where(sel & (posm < e_budget), posm, -1)
         else:

@@ -179,6 +179,10 @@ class RasterConfig:
     # NOTES_ROUNDS r3). Also measured at 2x density (400k surfels):
     # 31.2 -> 29.7 Mrays/s — still negative; treat the lever as closed
     # unless the workload's per-subtile entry counts grow well past ~128.
+    # NOTE: under packing, max_dup caps spans in half-width SUBTILE units
+    # (a splat covering 2 full tiles spans 4 subtiles), so the same
+    # max_dup truncates roughly twice as aggressively — budget max_dup
+    # accordingly if this flag is ever enabled.
     subtile_packing: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 

@@ -42,10 +42,13 @@ def init_distributed() -> bool:
     ):
         return False
     # explicit coordinator env vars (a localhost multi-process run, e.g.
-    # tests/mp_child.py) take precedence over cloud auto-detection
+    # tests/mp_child.py) take precedence over cloud auto-detection — but
+    # only when ALL THREE are present; a partial set falls through to
+    # jax.distributed's own auto-detection instead of crashing
     kwargs = {}
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and os.environ.get(
-        "JAX_NUM_PROCESSES"
+    if all(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
     ):
         kwargs = dict(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],

@@ -88,7 +88,7 @@ def voxel_top_view(vstate, grid, voxel_cfg, px_per_voxel: int = 4) -> np.ndarray
     return (img * 255).astype(np.uint8)
 
 
-def _draw_line(img: np.ndarray, p0, p1, color, px: int) -> None:
+def _draw_line(img: np.ndarray, p0, p1, color) -> None:
     """Sample-based line draw in voxel-pixel coords ((row, col) floats)."""
     n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1])) * 2) + 2
     t = np.linspace(0.0, 1.0, n)
@@ -133,11 +133,11 @@ def scene_overlay(
     if exec_path is not None and len(exec_path) > 1:
         pts = to_px(exec_path)
         for a, b in zip(pts[:-1], pts[1:]):
-            _draw_line(img, a, b, [1.0, 1.0, 1.0], px_per_voxel)
+            _draw_line(img, a, b, [1.0, 1.0, 1.0])
     if planned_path is not None and len(planned_path) > 1:
         pts = to_px(np.asarray(planned_path)[:, :3, 3])
         for a, b in zip(pts[:-1], pts[1:]):
-            _draw_line(img, a, b, [1.0, 0.9, 0.1], px_per_voxel)
+            _draw_line(img, a, b, [1.0, 0.9, 0.1])
     if candidates is not None and len(candidates):
         for p in to_px(np.asarray(candidates)[:, :3, 3]):
             _draw_dot(img, p, [0.1, 0.9, 0.95], r=1)
@@ -154,8 +154,7 @@ def scene_overlay(
                 [np.sin(s * half), 0.0, np.cos(s * half)], np.float32
             )
             tip = origin + frustum_len * d
-            _draw_line(img, to_px(origin)[0], to_px(tip)[0], [1.0, 0.55, 0.1],
-                       px_per_voxel)
+            _draw_line(img, to_px(origin)[0], to_px(tip)[0], [1.0, 0.55, 0.1])
         _draw_dot(img, to_px(origin)[0], [1.0, 0.55, 0.1], r=2)
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 

@@ -100,12 +100,9 @@ def main():
             plan = build_combine_plan(sels, selvs, invs, attrs0.num)
             return sels, selvs, invs, bins, plan
 
-        def prep_n(eps):
-            return prep(eps)
-
-        t_prep = timed_ms(prep_n, jnp.float32(0.0))
+        t_prep = timed_ms(prep, jnp.float32(0.0))
         # second call with perturbed input (memoization guard)
-        t_prep = min(t_prep, timed_ms(prep_n, jnp.float32(1e-7)))
+        t_prep = min(t_prep, timed_ms(prep, jnp.float32(1e-7)))
         print(f"[{tag}] prep (8-view subset+bins, once/keyframe): {t_prep:7.1f} ms")
 
         sels, selvs, invs, bins, plan = jax.tree.map(jnp.asarray, prep(jnp.float32(0)))
