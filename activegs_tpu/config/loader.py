@@ -140,7 +140,6 @@ def build_components(cfg: ConfigNode):
         tile_w=r.get("tile_w", RasterConfig.tile_w),
         max_dup=r.get("max_dup", 4),
         bf16_pairs=r.get("bf16_pairs", RasterConfig.bf16_pairs),
-        subtile_packing=r.get("subtile_packing", RasterConfig.subtile_packing),
         interpret=r.get("interpret", None),
     )
     p = cfg.planner

@@ -87,7 +87,9 @@ def state_to_reference(state: gm.GaussianMapState, cfg: gm.MapConfig, path: str)
     import torch
 
     n = int(state.count)
-    t = lambda x: torch.from_numpy(np.asarray(x[:n]))
+    # np.array (copy): torch.from_numpy on a non-writable jax-array view
+    # emits an UndefinedBehavior warning (VERDICT r3 hygiene)
+    t = lambda x: torch.from_numpy(np.array(x[:n]))
     torch.save(
         {
             "means": t(state.means),

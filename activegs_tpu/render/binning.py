@@ -72,16 +72,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def bin_tile_dims(image_shape: tuple[int, int], cfg: RasterConfig):
-    """(tile_h, tile_w, ntx, nty) of the BINNING grid.
-
-    Under cfg.subtile_packing the binning tile is the half-width subtile
-    (tile_h x tile_w/2) and ntx is forced even (2x the pair-grid width,
-    padding subtiles are empty) so every subtile has a horizontal partner;
-    the kernel pair grid is (ntx/2, nty)."""
+    """(tile_h, tile_w, ntx, nty) of the tile grid."""
     h, w = image_shape
     nty = -(-h // cfg.tile_h)
-    if cfg.subtile_packing:
-        return cfg.tile_h, cfg.tile_w // 2, 2 * -(-w // cfg.tile_w), nty
     return cfg.tile_h, cfg.tile_w, -(-w // cfg.tile_w), nty
 
 
@@ -248,15 +241,6 @@ def _tile_histogram(tile, sel, ntx: int, nty: int, max_dup: int):
     return seg_len.reshape(-1).astype(jnp.int32)  # (T,)
 
 
-def _pair_chunks(seg_len, ntx: int, nty: int, ksub: int):
-    """Per-pair chunk counts for the subtile-packed layout: pair p needs
-    max over its two subtiles of ceil(len / ksub) chunks (each chunk holds
-    ksub entries of each subtile). Returns (nch (P,), kb (T,))."""
-    kb = -(-seg_len // ksub)  # (T,) own sub-blocks
-    nch = jnp.max(kb.reshape(nty, ntx // 2, 2), axis=2).reshape(-1)
-    return nch, kb
-
-
 def entry_count(
     params2d: jnp.ndarray,
     in_view: jnp.ndarray,
@@ -265,21 +249,11 @@ def entry_count(
 ) -> jnp.ndarray:
     """Entry-stream size `bin_entries` will need for this view — the
     per-keyframe budget measurement (trainer.keyframe_view_stats) and the
-    binning itself share `candidate_tiles` (and, under subtile packing, the
-    histogram/pairing arithmetic) so the two can never disagree.
-
-    Without packing this is the raw kept-candidate count (binning adds at
-    most chunk-1 alignment slots per tile, which the budget formula covers);
-    with packing it is the EXACT padded layout size chunk * sum(nch) — pair
-    balance padding is not bounded per-tile, so the budget must measure the
-    padded need directly."""
-    tile, sel, kept_n, _ = candidate_tiles(params2d, in_view, image_shape, cfg)
-    if not cfg.subtile_packing:
-        return jnp.sum(kept_n)
-    _, _, ntx, nty = bin_tile_dims(image_shape, cfg)
-    seg_len = _tile_histogram(tile, sel, ntx, nty, cfg.max_dup)
-    nch, _ = _pair_chunks(seg_len, ntx, nty, cfg.chunk // 2)
-    return cfg.chunk * jnp.sum(nch)
+    binning itself share `candidate_tiles` so the two can never disagree.
+    This is the raw kept-candidate count (binning adds at most chunk-1
+    alignment slots per tile, which the budget formula covers)."""
+    _, _, kept_n, _ = candidate_tiles(params2d, in_view, image_shape, cfg)
+    return jnp.sum(kept_n)
 
 
 def bin_entries(
@@ -302,25 +276,13 @@ def bin_entries(
     its enumeration index doubles as a third sort key, so the
     (tile, depth, enum) lexicographic order reproduces the oracle's exactly
     (depth ties break by gaussian index, matching the stable `argsort` in
-    render/dense.py).
-
-    Under cfg.subtile_packing a SECOND, placement sort rearranges the
-    tile-contiguous layout into the pair-interleaved one the packed kernels
-    read: every `chunk`-entry block of a pair's segment holds [ksub entries
-    of subtile A | ksub entries of subtile B] (ksub = chunk/2). Each sorted
-    entry's destination slot is computed elementwise from its within-subtile
-    rank; balance-dummy blocks (emitted for the shorter subtile of each
-    pair) make the destination set a permutation of the final slot range,
-    so sorting by destination IS the placement — no scatter anywhere."""
+    render/dense.py)."""
     th, tw, ntx, nty = bin_tile_dims(image_shape, cfg)
     num_tiles = ntx * nty
     n = params2d.shape[0]
     kchunk = cfg.chunk
     max_dup = cfg.max_dup
-    pack = cfg.subtile_packing
-    # per-(sub)tile segment alignment: full chunks normally, half chunks
-    # under packing (each pair chunk holds ksub entries of each subtile)
-    align = kchunk // 2 if pack else kchunk
+    align = kchunk  # per-tile segment alignment
 
     tile, sel, dup, n_trunc = candidate_tiles(params2d, in_view, image_shape, cfg)
     num_dropped = n_trunc  # span truncation (dense layout never overflows)
@@ -368,44 +330,21 @@ def bin_entries(
     # `entry_budget` (static, per keyframe from the measured entry count —
     # trainer.keyframe_view_stats) sizes every downstream entry stream by
     # what the views actually bin, instead of entry_budget_mult * capacity
-    if pack:
-        # entry_count measures the exact padded layout size; the mult-based
-        # fallback doubles (balance padding is bounded by the partner's
-        # padded length, i.e. total padded <= 2 * sum of own padded lengths)
-        base = (
-            2 * int(n * cfg.entry_budget_mult) + num_tiles * (kchunk - 1)
-            if entry_budget is None
-            else entry_budget
-        )
-        e_budget = _round_up(base, kchunk)
-        (
-            payload_fin,
-            gid,
-            start_c,
-            len_c,
-            dropped_b,
-            e_alloc_fin,
-        ) = _place_pairs(
-            tile_s, payload_sorted, seg_len, pad_len, ntx, nty, kchunk,
-            num_tiles, e_alloc, e_budget, max_dup,
-        )
-        num_dropped = num_dropped + dropped_b
-    else:
-        base = int(n * cfg.entry_budget_mult) if entry_budget is None else entry_budget
-        e_budget = base + num_tiles * (kchunk - 1)
-        e_budget = min(_round_up(e_budget, kchunk), e_alloc)
-        # --- segment starts/lengths + compact budget truncation ---
-        start = jnp.cumsum(pad_len) - pad_len  # K-aligned by construction
-        start_c = jnp.minimum(start, e_budget).astype(jnp.int32)
-        pad_len_c = jnp.minimum(pad_len, e_budget - start_c)
-        len_c = jnp.minimum(seg_len, pad_len_c)
-        num_dropped = num_dropped + jnp.sum(seg_len - len_c)
+    base = int(n * cfg.entry_budget_mult) if entry_budget is None else entry_budget
+    e_budget = base + num_tiles * (kchunk - 1)
+    e_budget = min(_round_up(e_budget, kchunk), e_alloc)
+    # --- segment starts/lengths + compact budget truncation ---
+    start = jnp.cumsum(pad_len) - pad_len  # K-aligned by construction
+    start_c = jnp.minimum(start, e_budget).astype(jnp.int32)
+    pad_len_c = jnp.minimum(pad_len, e_budget - start_c)
+    len_c = jnp.minimum(seg_len, pad_len_c)
+    num_dropped = num_dropped + jnp.sum(seg_len - len_c)
 
-        payload_b = payload_sorted[:e_budget]
-        live = (tile_s[:e_budget] < num_tiles) & (payload_b >= 0)
-        gid = jnp.where(live, payload_b // max_dup, -1)
-        payload_fin = payload_sorted
-        e_alloc_fin = e_alloc
+    payload_b = payload_sorted[:e_budget]
+    live = (tile_s[:e_budget] < num_tiles) & (payload_b >= 0)
+    gid = jnp.where(live, payload_b // max_dup, -1)
+    payload_fin = payload_sorted
+    e_alloc_fin = e_alloc
 
     inv = None
     plan = None
@@ -418,17 +357,6 @@ def bin_entries(
             (payload_fin, jnp.arange(e_alloc_fin, dtype=jnp.int32)), num_keys=1
         )
         posm = pos[e_alloc_fin - dense :].reshape(n, max_dup)
-        if pack:
-            # a budget-truncated packed entry (dest >= e_budget) can still
-            # sort to a position < e_budget when the final layout leaves
-            # slot gaps; only positions whose slot actually RECEIVED this
-            # gaussian (gid matches) are valid inverse targets — otherwise
-            # inv would alias a dummy slot (zero row: gradients would still
-            # be right by coincidence, but the inv->own-gid invariant and
-            # any payload reader would break)
-            own = jnp.arange(n, dtype=jnp.int32)[:, None]
-            placed = gid[jnp.clip(posm, 0, e_budget - 1)] == own
-            posm = jnp.where(placed, posm, e_budget)
         if dense <= INV_LINEAR_MAX:
             inv = jnp.where(sel & (posm < e_budget), posm, -1)
         else:
@@ -470,95 +398,3 @@ def bin_entries(
         inv_pos=inv,
         plan=plan,
     )
-
-
-def _place_pairs(
-    tile_s,
-    payload_sorted,
-    seg_len,
-    pad_len,
-    ntx: int,
-    nty: int,
-    kchunk: int,
-    num_tiles: int,
-    e_alloc: int,
-    e_budget: int,
-    max_dup: int,
-):
-    """Second (placement) sort for the subtile-packed layout.
-
-    Input: the tile-contiguous sort-1 output (subtile segments padded to
-    ksub-multiples by alignment dummies). Each position's destination slot
-    in the pair-interleaved layout is elementwise arithmetic on its
-    within-subtile rank r (positions are iota, segment starts are cumsums):
-
-        dest = chunk * cstart[pair] + (r // ksub) * chunk + s * ksub + r % ksub
-
-    with s the subtile parity and cstart the pair's cumulative chunk start.
-    A synthetic cover stream emits `balance` dummy blocks for the shorter
-    subtile of each pair (the statically-sized enumeration runs over the
-    e_budget slot capacity), so every final slot < 128*sum(nch) receives
-    exactly one element and the destination sort IS the placement. Slots
-    the layout does not reach (budget gap or truncated pairs) fail the
-    `dest == slot` check and mask to gid = -1.
-
-    Returns (payload_fin (e_alloc2,), gid (e_budget,), pair_start (P,),
-    pair_len (P,), dropped (), e_alloc2)."""
-    ksub = kchunk // 2
-    ntx_pair = ntx // 2
-    num_pairs = ntx_pair * nty
-
-    nch, kb = _pair_chunks(seg_len, ntx, nty, ksub)  # (P,), (T,)
-    cstart = jnp.cumsum(nch) - nch  # (P,) chunk starts
-    start16 = jnp.cumsum(pad_len) - pad_len  # (T,) sort-1 segment starts
-
-    tid = jnp.arange(num_tiles, dtype=jnp.int32)
-    pair_of = (tid // ntx) * ntx_pair + (tid % ntx) // 2
-    s_of = tid % 2  # subtile parity == tile-id parity (ntx is even)
-    dest_base = (kchunk * cstart[pair_of] + ksub * s_of).astype(jnp.int32)
-    tile_rec = jnp.stack([start16.astype(jnp.int32), dest_base], axis=1)
-
-    e_alloc2 = e_alloc + e_budget
-    big = 2 * e_alloc + e_budget  # > any real or balance destination
-
-    # --- per-position destinations for the sort-1 stream ---
-    pos1 = jnp.arange(e_alloc, dtype=jnp.int32)
-    valid_t = tile_s < num_tiles
-    rec = tile_rec[jnp.clip(tile_s, 0, num_tiles - 1)]  # (e_alloc, 2)
-    r = pos1 - rec[:, 0]
-    dest1 = rec[:, 1] + (r // ksub) * kchunk + (r % ksub)
-    dest1 = jnp.where(valid_t, dest1, big + pos1)
-
-    # --- balance cover stream over the static slot capacity ---
-    ncc = e_budget // kchunk
-    c_iota = jnp.arange(ncc, dtype=jnp.int32)
-    # pair of chunk c = (# pairs with cstart <= c) - 1; empty pairs tie on
-    # cstart and the count lands on the last of the tie, whose own range
-    # check below rejects out-of-range chunks
-    p_of_c = (
-        jnp.sum((c_iota[:, None] >= cstart[None, :]).astype(jnp.int32), axis=1) - 1
-    )
-    b_of_c = c_iota - cstart[p_of_c]
-    within = b_of_c < nch[p_of_c]
-    kb_cs = kb.reshape(num_pairs, 2)[p_of_c]  # (ncc, 2) own blocks
-    balance = within[:, None] & (b_of_c[:, None] >= kb_cs)  # (ncc, 2)
-    slot = jnp.arange(e_budget, dtype=jnp.int32)
-    bal_slot = jnp.repeat(balance.reshape(-1), ksub, total_repeat_length=e_budget)
-    dest_cov = jnp.where(bal_slot, slot, big + e_alloc + slot)
-    payload_cov = jnp.full((e_budget,), -1, jnp.int32)
-
-    dest_all = jnp.concatenate([dest1, dest_cov])
-    payload_all2 = jnp.concatenate([payload_sorted, payload_cov])
-    dest_s2, payload_fin = jax.lax.sort((dest_all, payload_all2), num_keys=1)
-
-    iota_b = jnp.arange(e_budget, dtype=jnp.int32)
-    placed = (dest_s2[:e_budget] == iota_b) & (payload_fin[:e_budget] >= 0)
-    gid = jnp.where(placed, payload_fin[:e_budget] // max_dup, -1)
-
-    # --- per-pair segments + chunk-granular budget truncation ---
-    pair_start = jnp.minimum(kchunk * cstart, e_budget).astype(jnp.int32)
-    nch_c = jnp.minimum(nch, (e_budget - pair_start) // kchunk)
-    pair_len = (kchunk * nch_c).astype(jnp.int32)
-    retained = jnp.minimum(seg_len, ksub * nch_c[pair_of])
-    dropped = jnp.sum(seg_len - retained)
-    return payload_fin, gid, pair_start, pair_len, dropped, e_alloc2

@@ -58,7 +58,7 @@ def _use_interpret(cfg: RasterConfig) -> bool:
 def _cumprod_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Inclusive prefix product along the entry axis (-2; length k, power of
     two or not) via a Hillis-Steele doubling scan — Mosaic has no native
-    cumprod. Rank-agnostic: (K, P) plain, (2, K/2, P/2) subtile-packed."""
+    cumprod."""
     s = 1
     while s < k:
         pad = jnp.ones((*x.shape[:-2], s, x.shape[-1]), x.dtype)
@@ -117,20 +117,8 @@ def _excl_cumprod_total(one_m: jnp.ndarray, k: int):
 
 
 def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig):
-    """Pixel-center coordinates of program t.
-
-    Plain: (1, P) over the tile_h x tile_w tile (ntx = tile grid width).
-    Subtile-packed: (2, 1, P/2) over the two tile_h x tile_w/2 subtiles
-    2t and 2t+1 of the BINNING grid (ntx = subtile grid width)."""
-    if cfg.subtile_packing:
-        psub = cfg.tile_pixels // 2
-        tw = cfg.tile_w // 2
-        s = jax.lax.broadcasted_iota(jnp.int32, (2, 1, psub), 0)
-        pix = jax.lax.broadcasted_iota(jnp.int32, (2, 1, psub), 2)
-        tid = 2 * t + s
-        px = ((tid % ntx) * tw + pix % tw).astype(jnp.float32) + 0.5
-        py = ((tid // ntx) * cfg.tile_h + pix // tw).astype(jnp.float32) + 0.5
-        return px, py
+    """Pixel-center coordinates (1, P) of program t's tile_h x tile_w tile
+    (ntx = tile grid width)."""
     p = cfg.tile_pixels
     tx = t % ntx
     ty = t // ntx
@@ -147,64 +135,26 @@ def _feats_of(e: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chunk_cols(e: jnp.ndarray, cfg: RasterConfig) -> dict:
-    """Per-entry parameter columns from a DMA'd chunk (PARAM_DIM, K).
-
-    Subtile-packed chunks hold [K/2 entries of subtile A | K/2 of B]; the
-    transpose reshapes to (2, K/2, PARAM_DIM) so all pair math runs batched
-    over the leading subtile axis against (2, 1, P/2) pixel grids."""
-    et = e.T
-    if cfg.subtile_packing:
-        et = et.reshape(2, cfg.chunk // 2, PARAM_DIM)
-    return pp.entry_cols(et)
+    """Per-entry parameter columns from a DMA'd chunk (PARAM_DIM, K)."""
+    return pp.entry_cols(e.T)
 
 
 def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
 
 
-def _feat_dot(feats, wgt, pack: bool):
-    """Channel accumulation feats (7, K) x wgt -> (7, P) per pixel.
-    Packed: two (7, K/2) @ (K/2, P/2) dots stacked to (2, 7, P/2) — the
-    subtiles' outputs must not mix, so the contraction never crosses the
-    K/2 boundary."""
-    if pack:
-        ks = wgt.shape[-2]
-        return jnp.stack(
-            [
-                _dot(feats[:, :ks], wgt[0], ((1,), (0,))),
-                _dot(feats[:, ks:], wgt[1], ((1,), (0,))),
-            ],
-            axis=0,
-        )
+def _feat_dot(feats, wgt):
+    """Channel accumulation feats (7, K) x wgt (K, P) -> (7, P) per pixel."""
     return _dot(feats, wgt, ((1,), (0,)))
 
 
-def _featT_dot(feats, g_feat, pack: bool):
-    """q-side contraction feats^T (K, 7) x g_feat (7, P) -> (K, P);
-    packed: per-subtile, stacked to (2, K/2, P/2)."""
-    if pack:
-        ks = feats.shape[-1] // 2
-        return jnp.stack(
-            [
-                _dot(feats[:, :ks], g_feat[0], ((0,), (0,))),
-                _dot(feats[:, ks:], g_feat[1], ((0,), (0,))),
-            ],
-            axis=0,
-        )
+def _featT_dot(feats, g_feat):
+    """q-side contraction feats^T (K, 7) x g_feat (7, P) -> (K, P)."""
     return _dot(feats, g_feat, ((0,), (0,)))
 
 
-def _grad_feat_dot(wgt, g_feat, pack: bool):
-    """Feature gradients wgt (K, P) x g_feat^T (P, 7) -> (K, 7);
-    packed: per-subtile, stacked to (2, K/2, 7)."""
-    if pack:
-        return jnp.stack(
-            [
-                _dot(wgt[0], g_feat[0], ((1,), (1,))),
-                _dot(wgt[1], g_feat[1], ((1,), (1,))),
-            ],
-            axis=0,
-        )
+def _grad_feat_dot(wgt, g_feat):
+    """Feature gradients wgt (K, P) x g_feat^T (P, 7) -> (K, 7)."""
     return _dot(wgt, g_feat, ((1,), (1,)))
 
 
@@ -222,8 +172,6 @@ def _entry_dma(entries_ref, buf, sem, start, chunk, slot, kchunk):
 
 def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg):
     kchunk = cfg.chunk
-    pack = cfg.subtile_packing
-    ksc = kchunk // 2 if pack else kchunk  # entries per scan (per subtile)
     p = cfg.tile_pixels
     t = pl.program_id(0)
     start = start_ref[t]
@@ -272,21 +220,21 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (K, P)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        excl, total = _excl_cumprod_total(one_m, ksc)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans.astype(alpha.dtype)  # (K, P)
 
         feats = _feats_of(e).astype(alpha.dtype)  # (7, K)
-        ch = _feat_dot(feats, wgt, pack)  # (7, P) | (2, 7, P/2)
+        ch = _feat_dot(feats, wgt)  # (7, P)
         # depth accumulates in f32 (bf16 depth would quantize ~2 cm at 5 m)
-        dsum = jnp.sum(wgt * tdep, axis=-2, keepdims=True)  # (..., 1, P) f32
+        dsum = jnp.sum(wgt * tdep, axis=-2, keepdims=True)  # (1, P) f32
         acc = acc + jnp.concatenate([ch, dsum], axis=-2)
         trans = trans * total
         return (i + 1, trans, acc)
 
     init = (
         jnp.int32(0),
-        jnp.ones((2, 1, p // 2) if pack else (1, p), jnp.float32),
-        jnp.zeros((2, 8, p // 2) if pack else (8, p), jnp.float32),
+        jnp.ones((1, p), jnp.float32),
+        jnp.zeros((8, p), jnp.float32),
     )
     i_end, trans, acc = jax.lax.while_loop(cond, body, init)
 
@@ -306,24 +254,21 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
             def _():
                 _entry_dma(entries_ref, buf, sem, ns, 0, 2, kchunk).start()
 
-    zeros = jnp.zeros((*trans.shape[:-2], OUT_ROWS - 10, trans.shape[-1]), jnp.float32)
+    zeros = jnp.zeros((OUT_ROWS - 10, trans.shape[-1]), jnp.float32)
     stop_row = jnp.ones_like(trans) * i_end.astype(jnp.float32)
     # rows: rgb(0:3) nrm(3:6) from acc[0:6]; depth=acc[7]; conf=acc[6]
     out = jnp.concatenate(
         [
-            acc[..., 0:6, :],
-            acc[..., 7:8, :],
-            acc[..., 6:7, :],
+            acc[0:6, :],
+            acc[7:8, :],
+            acc[6:7, :],
             trans,
             stop_row,
             zeros,
         ],
         axis=-2,
     )
-    if pack:
-        out_ref[:, :, :] = out  # (2, OUT_ROWS, P/2): one row per subtile
-    else:
-        out_ref[0, :, :] = out
+    out_ref[0, :, :] = out
 
 
 # --------------------------------------------------------------------------
@@ -348,27 +293,22 @@ def _bwd_kernel(
     cfg,
 ):
     kchunk = cfg.chunk
-    pack = cfg.subtile_packing
-    ksc = kchunk // 2 if pack else kchunk
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     stop = stop_ref[t]
     px, py = _tile_pixel_coords(t, ntx, cfg)
-    triu_s = _tri_strict(ksc, upper=True) if cfg.mxu_scan else None
+    triu_s = _tri_strict(kchunk, upper=True) if cfg.mxu_scan else None
 
-    g = gout_ref[:, :, :] if pack else gout_ref[0]  # (..., OUT_ROWS, P)
+    g = gout_ref[0]  # (OUT_ROWS, P)
     # feature-channel grads in feats order [r g b nx ny nz conf]
     g_feat = jnp.concatenate(
-        [g[..., 0:6, :], g[..., ROW_CONF : ROW_CONF + 1, :]], axis=-2
+        [g[0:6, :], g[ROW_CONF : ROW_CONF + 1, :]], axis=-2
     )
-    g_depth = g[..., ROW_DEPTH : ROW_DEPTH + 1, :]
-    g_trans = g[..., ROW_TRANS : ROW_TRANS + 1, :]
-    if pack:
-        t_final = out_fwd_ref[:, ROW_TRANS : ROW_TRANS + 1, :]  # (2, 1, P/2)
-    else:
-        t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
+    g_depth = g[ROW_DEPTH : ROW_DEPTH + 1, :]
+    g_trans = g[ROW_TRANS : ROW_TRANS + 1, :]
+    t_final = out_fwd_ref[0, ROW_TRANS : ROW_TRANS + 1, :]  # (1, P)
     dt = jnp.bfloat16 if cfg.bf16_pairs else jnp.float32
     g_feat_d = g_feat.astype(dt)  # matmul operand in pair dtype (MXU-native)
     gtf = (g_trans * t_final).astype(dt)  # (1, P), hoisted out of the loop
@@ -426,28 +366,23 @@ def _bwd_kernel(
         alpha = terms["alpha"]
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
-        excl, total = _excl_cumprod_total(one_m, ksc)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
         t_before = t_after / jnp.maximum(total, 1e-30)
         t_k = t_before.astype(dt) * excl
         wgt = alpha * t_k  # (K, P) pair dtype
 
         feats = _feats_of(e).astype(dt)  # (7, K)
         # q_k(p) = sum_c feat_c[k] g_c(p) + t_k(p) g_depth(p)
-        q = _featT_dot(feats, g_feat_d, pack) + tdep * g_depth  # (K, P) f32
+        q = _featT_dot(feats, g_feat_d) + tdep * g_depth  # (K, P) f32
         q_d = q.astype(dt)
         wq = wgt * q_d
         if cfg.mxu_scan:
             # suffix over entries strictly after k: one strictly-upper
             # triangular MXU matmul instead of the 14-pass doubling scan
-            if pack:
-                sfx = jnp.stack(
-                    [_tri_dot(triu_s, wq[0]), _tri_dot(triu_s, wq[1])], axis=0
-                ).astype(dt)
-            else:
-                sfx = _tri_dot(triu_s, wq).astype(dt)
+            sfx = _tri_dot(triu_s, wq).astype(dt)
             tot_wq = jnp.sum(wq, axis=-2, keepdims=True, dtype=jnp.float32)
         else:
-            incl = _cumsum_k(wq, ksc)
+            incl = _cumsum_k(wq, kchunk)
             sfx = incl[..., -1:, :] - incl
             tot_wq = incl[..., -1:, :].astype(jnp.float32)
         suffix = s_q.astype(dt) + sfx  # entries strictly after k
@@ -487,7 +422,7 @@ def _bwd_kernel(
         dop = jnp.sum(dalpha * terms["ex"], -1, keepdims=True, dtype=f32)
 
         # feature grads: (K, 7) = wgt (K,P) @ g_feat^T (P,7)
-        dfeat = _grad_feat_dot(wgt, g_feat_d, pack)  # (..., K, 7)
+        dfeat = _grad_feat_dot(wgt, g_feat_d)  # (K, 7)
 
         # depth-plane grads (inv_denom / t_raw / clamp masks shared with the
         # alpha-depth evaluation above — one divide per pair, not three);
@@ -536,8 +471,6 @@ def _bwd_kernel(
         def _():
             wdma(i % 2, i + 2).wait()
 
-        # packed (2, K/2, PARAM_DIM) merges to (K, PARAM_DIM) rows [A | B] —
-        # exactly the chunk's memory order
         wbuf[i % 2] = dcols.reshape(kchunk, PARAM_DIM).T
         wdma(i % 2, i).start()
 
@@ -547,7 +480,7 @@ def _bwd_kernel(
     init = (
         stop - 1,
         t_final,
-        jnp.zeros((2, 1, p // 2) if pack else (1, p), jnp.float32),
+        jnp.zeros((1, p), jnp.float32),
     )
     jax.lax.while_loop(lambda c: c[0] >= 0, body, init)
 
@@ -584,16 +517,14 @@ def _stats_kernel(
     cfg,
 ):
     kchunk = cfg.chunk
-    pack = cfg.subtile_packing
-    ksc = kchunk // 2 if pack else kchunk
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     px, py = _tile_pixel_coords(t, ntx, cfg)
     # (8, P) broadcast rows; row 0 is the real mask
-    mask = mask_ref[:, :, :] if pack else mask_ref[0]
-    pix_mask = mask[..., 0:1, :]
+    mask = mask_ref[0]
+    pix_mask = mask[0:1, :]
     thres = thres_ref[0, 0]
 
     def wdma(slot, chunk):
@@ -627,10 +558,10 @@ def _stats_kernel(
         cols = _chunk_cols(e, cfg)
         alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg)
         one_m = 1.0 - alpha
-        excl, total = _excl_cumprod_total(one_m, ksc)
+        excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans
         wm = wgt * pix_mask
-        imp = jnp.sum(wm, axis=-1, keepdims=True)  # (..., K, 1)
+        imp = jnp.sum(wm, axis=-1, keepdims=True)  # (K, 1)
         cnt = jnp.sum(
             jnp.where(wm >= thres, 1.0, 0.0), axis=-1, keepdims=True
         )
@@ -643,7 +574,6 @@ def _stats_kernel(
             a.wait()
             b.wait()
 
-        # packed (2, K/2, 1) merges to chunk memory order [A | B]
         wimp[i % 2] = imp.reshape(kchunk, 1).T
         wcnt[i % 2] = cnt.reshape(kchunk, 1).T
         a, b = wdma(i % 2, i)
@@ -653,7 +583,7 @@ def _stats_kernel(
         return (i + 1, trans * total)
 
     p = cfg.tile_pixels
-    trans0 = jnp.ones((2, 1, p // 2) if pack else (1, p), jnp.float32)
+    trans0 = jnp.ones((1, p), jnp.float32)
     i_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), trans0))
 
     @pl.when(i_end < nch)
@@ -713,13 +643,7 @@ def _stats_kernel(
 
 
 def _out_block(num_programs: int, cfg: RasterConfig):
-    """(block_shape, out_shape_rows, row_pixels) of the per-tile output.
-
-    Subtile-packed programs write TWO output tiles (one per subtile) of
-    half the pixels each; the output array is then in row-major order of
-    the BINNING (subtile) grid either way."""
-    if cfg.subtile_packing:
-        return (2, OUT_ROWS, cfg.tile_pixels // 2), 2 * num_programs
+    """(block_shape, out_shape_rows) of the per-tile output."""
     return (1, OUT_ROWS, cfg.tile_pixels), num_programs
 
 
@@ -788,9 +712,7 @@ def composite_tiled(entries, tile_start, tile_len, static):
 def _composite_fwd(entries, tile_start, tile_len, static):
     num_tiles, ntx, cfg = static
     out = _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
-    # packed output has two rows per program (identical stop counters)
-    step = 2 if cfg.subtile_packing else 1
-    stop = out[::step, ROW_STOP, 0].astype(jnp.int32)
+    stop = out[:, ROW_STOP, 0].astype(jnp.int32)
     return out, (entries, tile_start, tile_len, stop, out)
 
 
@@ -817,10 +739,7 @@ def composite_stats(
     interpret = _use_interpret(cfg)
     kernel = functools.partial(_stats_kernel, ntx=ntx, cfg=cfg)
     thres = jnp.full((1, 1), weight_thres, jnp.float32)
-    if cfg.subtile_packing:
-        mask_blk = (2, 8, cfg.tile_pixels // 2)
-    else:
-        mask_blk = (1, 8, cfg.tile_pixels)
+    mask_blk = (1, 8, cfg.tile_pixels)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),

@@ -324,9 +324,7 @@ def eval_pair_terms_bwd(
 
 
 def entry_cols(entries_t: jnp.ndarray) -> dict:
-    """Split a transposed entry block (..., K, PARAM_DIM) into (..., K, 1)
-    columns (rank-agnostic: the subtile-packed kernels pass (2, K/2,
-    PARAM_DIM) and broadcast against (2, 1, P/2) pixel grids)."""
+    """Split a transposed entry block (K, PARAM_DIM) into (K, 1) columns."""
     names = [
         "mean_x",
         "mean_y",

@@ -34,8 +34,7 @@ from .types import (
 
 
 def _tile_grid(image_shape, cfg: RasterConfig):
-    """Kernel PROGRAM grid (one program per tile_h x tile_w region — a
-    subtile pair under cfg.subtile_packing)."""
+    """Kernel PROGRAM grid (one program per tile_h x tile_w region)."""
     h, w = image_shape
     ntx = -(-w // cfg.tile_w)
     nty = -(-h // cfg.tile_h)
@@ -43,18 +42,13 @@ def _tile_grid(image_shape, cfg: RasterConfig):
 
 
 def _kernel_static(image_shape, cfg: RasterConfig):
-    """(num_programs, kernel_ntx): the compositor grid size and the tile
-    grid width its pixel-coordinate math uses (the BINNING/subtile grid
-    width under packing, the program grid width otherwise)."""
+    """(num_programs, kernel_ntx): the compositor grid size and width."""
     ntx, nty = _tile_grid(image_shape, cfg)
-    _, _, bntx, _ = binning.bin_tile_dims(image_shape, cfg)
-    return ntx * nty, bntx if cfg.subtile_packing else ntx
+    return ntx * nty, ntx
 
 
 def _tiles_to_image(out_tiles: jnp.ndarray, image_shape, cfg: RasterConfig):
-    """(T, C, P) tile-major output -> (C, h, w) image. T and P are in
-    BINNING-grid units (subtiles under packing — the packed kernel writes
-    one output row per subtile, in row-major subtile order)."""
+    """(T, C, P) tile-major output -> (C, h, w) image."""
     h, w = image_shape
     th, tw, ntx, nty = binning.bin_tile_dims(image_shape, cfg)
     c = out_tiles.shape[1]
@@ -64,8 +58,8 @@ def _tiles_to_image(out_tiles: jnp.ndarray, image_shape, cfg: RasterConfig):
 
 
 def _image_to_tiles(img: jnp.ndarray, image_shape, cfg: RasterConfig, rows: int):
-    """(h, w) mask -> (T, rows, P) BINNING-grid tile-major layout (row 0
-    real, rest pad)."""
+    """(h, w) mask -> (T, rows, P) tile-major layout (row 0 real, rest
+    pad)."""
     h, w = image_shape
     th, tw, ntx, nty = binning.bin_tile_dims(image_shape, cfg)
     pad_h = nty * th - h

@@ -164,26 +164,13 @@ class RasterConfig:
     # free); rerun the script after ANY change to the DMA slot wiring —
     # interpret-mode tests do not model DMA races.
     cross_tile_prefetch: bool = True
-    # Two-subtile packing: bin at half-width subtiles (tile_h x tile_w/2)
-    # but keep one kernel program per full tile by pairing horizontally
-    # adjacent subtiles. Binning emits a pair-interleaved entry layout —
-    # every `chunk`-entry block of a pair segment is [A chunk/2 | B chunk/2]
-    # — so the kernels' 128-aligned chunk DMAs are unchanged and only the
-    # pair math splits into a (2, chunk/2, pixels/2) batched form.
-    # On-chip validated (scripts/validate_onchip.py) but DEFAULT OFF on a
-    # measured NEGATIVE result at the bench scene (55.1 -> 51.3 Mrays/s):
-    # at ~56 entries per 16x16 subtile the 64-granularity alignment +
-    # pair-balance padding DOUBLE the entry stream (57k -> 115k), so real
-    # pair-evals only drop ~27% while DMA chunks grow ~44% and the extra
-    # placement sort costs ~19 ms/keyframe (scripts/ab_pack.py numbers,
-    # NOTES_ROUNDS r3). Also measured at 2x density (400k surfels):
-    # 31.2 -> 29.7 Mrays/s — still negative; treat the lever as closed
-    # unless the workload's per-subtile entry counts grow well past ~128.
-    # NOTE: under packing, max_dup caps spans in half-width SUBTILE units
-    # (a splat covering 2 full tiles spans 4 subtiles), so the same
-    # max_dup truncates roughly twice as aggressively — budget max_dup
-    # accordingly if this flag is ever enabled.
-    subtile_packing: bool = False
+    # Two-subtile packing (bin at half-width subtiles, pair-interleave the
+    # entry layout) was built, on-chip validated, measured NEGATIVE at 1x
+    # AND 2x bench density (55.1 -> 51.3 and 31.2 -> 29.7 Mrays/s: the
+    # 64-granularity alignment + pair-balance padding double the entry
+    # stream), and DELETED in round 4. Full post-mortem: NOTES_ROUNDS r3.
+    # Do not rebuild unless per-subtile entry counts grow well past ~128
+    # (the padding floor only amortizes there).
     interpret: Optional[bool] = None  # None = auto (interpret off TPU)
 
     @property

@@ -56,7 +56,11 @@ _PAGE = """<!DOCTYPE html>
    <option>rgb</option><option>depth</option><option>confidence</option>
    <option>opacity</option><option>normal</option><option>d2n</option>
   </select>
-  <button onclick="resetFly()">reset pose</button>
+  <button onclick="resetFly()">reset pose</button><br>
+  conf &ge; <input type="range" id="confmin" min="0" max="1" step="0.05"
+   value="0" style="width:100px">
+  scale &times; <input type="range" id="scalemod" min="0.1" max="2" step="0.1"
+   value="1" style="width:100px"><span id="svals"></span><br>
   <button onclick="fetch('/record_pose'+flyUrl().slice(8)).then(r=>r.json())
     .then(s=>{document.getElementById('rec').textContent=s.count+' recorded';})">
     record pose</button>
@@ -67,9 +71,15 @@ _PAGE = """<!DOCTYPE html>
 let dx=0, dy=0, dz=0, yaw=0, pitch=0;
 function resetFly(){ dx=dy=dz=yaw=pitch=0; refreshFly(); }
 function flyUrl(){
+  const cm = document.getElementById('confmin').value;
+  const sm = document.getElementById('scalemod').value;
+  document.getElementById('svals').textContent = ` (${cm} / ${sm})`;
   return `/fly.png?dx=${dx}&dy=${dy}&dz=${dz}&yaw=${yaw}&pitch=${pitch}` +
+         `&conf_min=${cm}&scale_mod=${sm}` +
          `&chan=${document.getElementById('chan').value}&t=${Date.now()}`;
 }
+document.getElementById('confmin').addEventListener('change', refreshFly);
+document.getElementById('scalemod').addEventListener('change', refreshFly);
 function refreshFly(){ document.getElementById('fly').src = flyUrl(); }
 document.getElementById('fly').addEventListener('keydown', (e) => {
   const s = 0.15, r = 0.1;
@@ -92,6 +102,30 @@ setInterval(() => {
 </script>
 </body></html>
 """
+
+
+def _filter_attrs_impl(a, cm, sm):
+    """Fly-cam render filter (`gui.py:836-873`): hide gaussians below the
+    confidence threshold, scale every surfel by the slider factor."""
+    import dataclasses
+
+    return dataclasses.replace(
+        a,
+        valid=a.valid & (a.confidences >= cm),
+        scales=a.scales * sm,
+    )
+
+
+def _filter_attrs(attrs, conf_min, scale_mod):
+    import jax
+
+    global _filter_attrs_jit
+    if _filter_attrs_jit is None:
+        _filter_attrs_jit = jax.jit(_filter_attrs_impl)
+    return _filter_attrs_jit(attrs, conf_min, scale_mod)
+
+
+_filter_attrs_jit = None
 
 
 def _png_bytes(img: np.ndarray) -> bytes:
@@ -279,6 +313,17 @@ class WebViewer:
         from ..render.renderer import render_view
 
         attrs = gm.attrs_of(mapper.gm_state, mapper.map_cfg)
+        # live-render confidence-threshold filter + scale modifier
+        # (`gui.py:836-873` parity). One jitted helper, scalars passed as
+        # arrays — new jit programs are ~30-100 s remote compiles on axon.
+        conf_min = float(q.get("conf_min", 0))
+        scale_mod = float(q.get("scale_mod", 1))
+        if conf_min > 0 or scale_mod != 1.0:
+            import jax.numpy as jnp
+
+            attrs = _filter_attrs(
+                attrs, jnp.float32(conf_min), jnp.float32(scale_mod)
+            )
         cam = Camera(extrinsic=ext, intrinsic=intr)
         out, _ = render_view(attrs, cam, self.shape, mapper.raster_cfg)
         if chan == "depth":

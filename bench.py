@@ -136,10 +136,16 @@ def run_scaling(res=128, n_gauss=4096, steps=2):
     return results
 
 
-def build_scene(res, n_gauss, cfg):
+def build_scene(res, n_gauss, cfg, opacity_raw=1.0):
     """Synthetic but realistic bench scene: camera-facing surfels filling a
     6x5x3 room shell + an 8-keyframe ring looking at the walls. Returns
-    (state, buf). Shared by bench main() and perf-scan scripts."""
+    (state, buf). Shared by bench main() and perf-scan scripts.
+
+    opacity_raw: pre-activation opacity (sigmoid). The default 1.0
+    (op=0.73) matches a mid-mission map; 5.0 (op=0.993) models a CONVERGED
+    map where front surfels saturate transmittance and chunk-granular early
+    termination fires (BENCH_OPAQUE=1; the CUDA baseline's biggest lever
+    on real scenes, `gau_frag.glsl:20-26`)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -181,7 +187,7 @@ def build_scene(res, n_gauss, cfg):
         means=state.means.at[:n_gauss].set(jnp.asarray(pts)),
         rotations_raw=state.rotations_raw.at[:n_gauss].set(q),
         scales_raw=state.scales_raw.at[:n_gauss].set(jnp.asarray(scales_raw)),
-        opacities_raw=state.opacities_raw.at[:n_gauss].set(1.0),
+        opacities_raw=state.opacities_raw.at[:n_gauss].set(opacity_raw),
         colors=state.colors.at[:n_gauss].set(
             jnp.asarray(rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32))
         ),
@@ -208,6 +214,49 @@ def build_scene(res, n_gauss, cfg):
         }
         buf = kf.add_frame(buf, frame)
     return state, buf
+
+
+def term_probe(state, buf, map_cfg, raster_cfg, res):
+    """Chunk-granular early-termination telemetry on keyframe 0: (chunks
+    available, chunks processed, tiles that terminated early, mean final
+    transmittance). One extra fwd-only program (remote-compiled once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from activegs_tpu.mapping import gaussians as gm
+    from activegs_tpu.render import composite_pallas as cp
+    from activegs_tpu.render import renderer as R
+    from activegs_tpu.render.types import Camera
+
+    attrs = gm.attrs_of(state, map_cfg)
+    cam = Camera(extrinsic=buf.extrinsics[0], intrinsic=buf.intrinsics[0])
+    shape = (res, res)
+    num_tiles, ntx = R._kernel_static(shape, raster_cfg)
+
+    @jax.jit
+    def run(attrs):
+        entries, b, *_ = R._prepare_entries(attrs, cam, shape, raster_cfg, False)
+        out = cp.composite_tiled(
+            entries, b.tile_start, b.tile_len, (num_tiles, ntx, raster_cfg)
+        )
+        stop = out[:, cp.ROW_STOP, 0]
+        nch = jnp.ceil(b.tile_len / raster_cfg.chunk)
+        trans = out[:, cp.ROW_TRANS, :]
+        return (
+            jnp.sum(nch),
+            jnp.sum(stop),
+            jnp.sum(stop < nch),
+            jnp.mean(trans),
+        )
+
+    avail, done, term, mt = (float(x) for x in run(attrs))
+    return {
+        "chunks_available": int(avail),
+        "chunks_processed": int(done),
+        "tiles_terminated_early": int(term),
+        "num_tiles": num_tiles,
+        "mean_final_transmittance": round(mt, 4),
+    }
 
 
 def main():
@@ -242,15 +291,14 @@ def main():
         bf16_pairs=env_flag("BENCH_BF16"),
         # default ON (matches RasterConfig; on-chip validated, perf-neutral)
         cross_tile_prefetch=env_flag("BENCH_XTP", "1"),
-        # two-subtile packing: on-chip validated, measured SLOWER here
-        # (51.3 vs 55.1 Mrays/s — entry stream doubles at bench density;
-        # see RasterConfig.subtile_packing + scripts/ab_pack.py)
-        subtile_packing=env_flag("BENCH_PACK"),
     )
 
     import dataclasses
 
-    state, buf = build_scene(res, n_gauss, cfg)
+    # BENCH_OPAQUE=1: converged-map variant (op=0.993) where transmittance
+    # saturates and chunk-level early termination fires (VERDICT r3 #3)
+    opaque = env_flag("BENCH_OPAQUE")
+    state, buf = build_scene(res, n_gauss, cfg, opacity_raw=5.0 if opaque else 1.0)
 
     # match the mission loop: heavy programs run on the live-count bucket,
     # and each view trains its compacted in-view subset (mapper.step parity)
@@ -314,16 +362,16 @@ def main():
 
     rays = steps * batch * res * res
     rays_per_s = rays / t
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_s_fwd_bwd",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
-            }
-        )
-    )
+    line = {
+        "metric": "train_rays_per_s_fwd_bwd",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+    }
+    if opaque:
+        line["variant"] = "opaque"
+        line["term_stats"] = term_probe(state, buf, cfg, raster_cfg, res)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

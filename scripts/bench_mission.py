@@ -1,0 +1,106 @@
+"""Mission-level TPU benchmark: steady-state seconds per keyframe.
+
+The train-step bench (bench.py) times one jitted program; the MISSION is
+the product — spawn + view_stats + train + post + voxel + the planner's
+stats/batch/A* phases (reference protocol: `/root/reference/run.sh:9-27`,
+budget accounting `utils/common.py:289-329`). This runs a real mission on
+the default config (synthetic boxroom, confidence planner, 512^2,
+capacity 524288 — the same shapes as `apps/main`, so executables share the
+persistent cache) and reports the steady-state per-keyframe cost.
+
+Steady state = steps >= STEADY_FROM of ONE process (CLAUDE.md: loading a
+cached executable still costs ~5-10 s per program per process; in-process
+reuse is the only truly warm state; early steps also climb the capacity
+bucket ladder, each rung a new program). Run once after any edit to warm
+the cache, then trust the second run's numbers.
+
+Prints ONE JSON line; commit the output as BENCH_MISSION_r{N}.json.
+
+    python scripts/bench_mission.py [steps=10] [out=experiments/...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from activegs_tpu import runtime  # noqa: E402
+
+runtime.setup_cache()
+
+STEADY_FROM = 4  # 1-based frame id; earlier steps climb the bucket ladder
+
+
+def main():
+    import numpy as np
+
+    from activegs_tpu.apps.common import build_mission, experiment_path
+    from activegs_tpu.config.loader import load_config
+    from activegs_tpu.io.recorder import MissionRecorder
+
+    argd = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    steps = int(argd.pop("steps", 10))
+    out = argd.pop("out", None)
+
+    cfg = load_config("main", [f"{k}={v}" for k, v in argd.items()])
+    mapper, simulator, planner, comp = build_mission(cfg)
+    if out:
+        recorder = MissionRecorder(out, budget=1e9, record_interval=1e9)
+        mapper.load_recorder(recorder)
+
+    mapper.init_map()
+    all_stats = []
+    for _ in range(steps):
+        s = mapper.step()
+        print(
+            f" step {s['frame_id']}: mapping {s['t_mapping']:.2f}s "
+            f"({' '.join(f'{k}={v:.2f}' for k, v in s['phase_times'].items())}) "
+            f"plan({' '.join(f'{k}={v:.3f}' for k, v in s['plan_times'].items())}) "
+            f"n={s['n_gaussians']}",
+            file=sys.stderr,
+        )
+        all_stats.append(s)
+
+    steady = [s for s in all_stats if s["frame_id"] >= STEADY_FROM]
+    mean = lambda xs: float(np.mean(xs)) if xs else None
+    phases = sorted({k for s in steady for k in s["phase_times"]})
+    plan_phases = sorted({k for s in steady for k in s["plan_times"]})
+    result = {
+        "metric": "mission_s_per_keyframe",
+        "value": mean([s["t_mapping"] for s in steady]),
+        "unit": "s/keyframe (mapping, steady-state)",
+        "steady_steps": [s["frame_id"] for s in steady],
+        "phase_s": {
+            k: round(mean([s["phase_times"].get(k, 0.0) for s in steady]), 3)
+            for k in phases
+        },
+        "planning_s": round(
+            mean([sum(s["plan_times"].values()) for s in steady]) or 0.0, 3
+        ),
+        "plan_phase_s": {
+            k: round(mean([s["plan_times"].get(k, 0.0) for s in steady]), 3)
+            for k in plan_phases
+        },
+        "n_gaussians_final": all_stats[-1]["n_gaussians"],
+        "capacity_bucket_final": all_stats[-1]["capacity_bucket"],
+        "num_dropped_final": all_stats[-1]["num_dropped"],
+        "config": {
+            "planner": cfg.planner.planner_name,
+            "scene": cfg.scene.scene_name,
+            "resolution": [int(x) for x in getattr(simulator, "resolution", ())],
+            "capacity": comp["map_cfg"].capacity,
+            "optimization_steps": comp["map_cfg"].optimization_steps,
+        },
+    }
+    # numpy scalars (int64 counts, float32 times) leak into stats dicts
+    print(json.dumps(result, default=lambda o: o.item()))
+    if out:
+        mapper.recorder.save_map(mapper.gm_state, mapper.map_cfg, "final")
+        mapper.recorder.save_path()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,7 @@
 """Capture an xprof trace of the warm bench train step and print the op
 ledger (scripts/parse_profile.py). One keyframe program (8 views x 10
 steps) traced twice with perturbed inputs; all programs should be warm in
-the persistent cache from bench/ab_pack runs.
+the persistent cache from bench runs.
 
 Usage: python scripts/trace_step.py [trace_dir]
 """

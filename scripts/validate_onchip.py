@@ -9,19 +9,14 @@ the kernels' DMA structure, before trusting bench numbers.
 Checks:
   A. small scene (64x64, 96 surfels): tiled path vs the dense oracle
      (render/dense.py) — all 5 channels AND parameter gradients — for
-     cross_tile_prefetch in (off, on) AND subtile_packing; the two xtp
-     variants must also be BITWISE identical (they evaluate the same math
-     in the same order; any difference is a DMA race). The packed variant
-     regroups chunk boundaries, so it is held to oracle tolerances only.
+     cross_tile_prefetch in (off, on); the two xtp variants must also be
+     BITWISE identical (they evaluate the same math in the same order;
+     any difference is a DMA race).
   B. mission scale (512^2, 200k surfels, the bench scene): the full
      train_keyframe program (8 views x 10 steps, fwd+bwd+Adam):
        - xtp on vs off — all parameter leaves BITWISE identical, repeated
          with perturbed inputs (races are intermittent; 80 renders per
-         repeat give them surface area);
-       - subtile_packing: the SAME program run twice must be bitwise
-         self-identical (a write-DMA race is nondeterministic), and its
-         loss must track the plain path to 1% (different float regrouping
-         only).
+         repeat give them surface area).
 
 Prints one PASS/FAIL line per check and exits non-zero on failure.
 """
@@ -127,7 +122,6 @@ def small_scene_checks():
     variants = {
         "seq": dataclasses.replace(cfg0, cross_tile_prefetch=False),
         "xtp": dataclasses.replace(cfg0, cross_tile_prefetch=True),
-        "pack": dataclasses.replace(cfg0, subtile_packing=True),
     }
     outs, grads = {}, {}
     for tag, cfg in variants.items():
@@ -183,10 +177,9 @@ def mission_scale_check(repeats=3):
     budget_cache = {}
 
     def run(rcfg, i):
-        bkey = rcfg.subtile_packing
-        if bkey not in budget_cache:
-            budget_cache[bkey] = budgets(rcfg)
-        subset_bucket, entry_budget = budget_cache[bkey]
+        if "b" not in budget_cache:
+            budget_cache["b"] = budgets(rcfg)
+        subset_bucket, entry_budget = budget_cache["b"]
         s = dataclasses.replace(state, means=state.means + jnp.float32(1e-6) * (i + 1))
         s1, _, loss, _ = trainer.train_keyframe(
             s,
@@ -213,25 +206,6 @@ def mission_scale_check(repeats=3):
             f"mission/bitwise train_keyframe rep{i} (xtp on vs off)",
             ok,
             f"({time.time() - t0:.1f}s)" + (f" diff={bad}" if bad else ""),
-        )
-        # subtile packing: same program twice must be bitwise self-identical
-        # (a kernel write-DMA race is nondeterministic), loss tracks plain
-        t0 = time.time()
-        p1 = run(RasterConfig(subtile_packing=True), i)
-        p2 = run(RasterConfig(subtile_packing=True), i)
-        ok = all(np.array_equal(p1[k], p2[k]) for k in p1)
-        bad = [k for k in p1 if not np.array_equal(p1[k], p2[k])]
-        check(
-            f"mission/bitwise train_keyframe rep{i} (pack self)",
-            ok,
-            f"({time.time() - t0:.1f}s)" + (f" diff={bad}" if bad else ""),
-        )
-        la, lp = float(a["loss"]), float(p1["loss"])
-        rel = abs(la - lp) / max(abs(la), 1e-9)
-        check(
-            f"mission/loss pack vs plain rep{i}",
-            rel < 1e-2,
-            f"plain={la:.6f} pack={lp:.6f} rel={rel:.2e}",
         )
 
 

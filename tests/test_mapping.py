@@ -379,6 +379,94 @@ class TestKeyframeEviction:
         assert float(buf.performance[0]) == 10.0
 
 
+class TestSamplers:
+    """Distribution tests for both keyframe samplers (VERDICT r3 weak #2:
+    `sample_uniform` collapsed out-of-range permutation values to frame 0,
+    over-sampling it ~7x). Reference: `mapping/utils.py:190-261`."""
+
+    def _filled_buf(self, kf, n_frames, cap=16, res=4):
+        import jax.numpy as jnp
+
+        buf = kf.init_buffer(cap, res, res)
+        for i in range(n_frames):
+            buf = kf.add_frame(
+                buf,
+                {
+                    "rgb": jnp.zeros((3, res, res), jnp.float32),
+                    "depth": jnp.ones((1, res, res), jnp.float32),
+                    "extrinsic": jnp.eye(4),
+                    "intrinsic": jnp.eye(3),
+                    "depth_range": jnp.asarray([0.0, 5.0]),
+                },
+            )
+        return buf
+
+    def _rest_histogram(self, sample_fn, buf, batch, active, draws=300):
+        import jax
+
+        f = int(buf.count)
+        n_active = min(active, f)
+        counts = np.zeros(f, np.int64)
+        sample = jax.jit(lambda k: sample_fn(buf, k, batch, active))
+        for d in range(draws):
+            ids = np.asarray(sample(jax.random.PRNGKey(d)))
+            # the last n_active positions of the batch are the rest draws
+            counts += np.bincount(ids[n_active:], minlength=f)
+        return counts
+
+    def test_uniform_rest_draws_are_flat(self):
+        import jax
+
+        from activegs_tpu.mapping import keyframes as kf
+
+        batch, active, draws = 8, 3, 300
+        buf = self._filled_buf(kf, n_frames=12)
+        counts = self._rest_histogram(kf.sample_uniform, buf, batch, active, draws)
+        # rest pool = frames [0, 9); 5 draws without replacement per call
+        n_rest, per_call = 9, batch - active
+        assert counts[n_rest:].sum() == 0  # never samples the active window
+        expected = draws * per_call / n_rest
+        rest = counts[:n_rest]
+        assert rest.min() > 0.5 * expected
+        assert rest.max() < 2.0 * expected  # old bug: frame 0 at ~7.6x
+        # without replacement within one call
+        ids = np.asarray(kf.sample_uniform(buf, jax.random.PRNGKey(7), batch, active))
+        assert len(set(ids[active:].tolist())) == per_call
+
+    def test_uniform_rest_exhausted_falls_back_to_latest(self):
+        import jax
+
+        from activegs_tpu.mapping import keyframes as kf
+
+        # 4 frames, active 3 -> only 1 rest frame for 5 rest positions:
+        # position 4 draws frame 0, the rest fall back to the latest frame
+        buf = self._filled_buf(kf, n_frames=4)
+        ids = np.asarray(kf.sample_uniform(buf, jax.random.PRNGKey(0), 8, 3))
+        assert ids[:3].tolist() == [3, 2, 1]
+        assert ids[3] == 0
+        assert all(i == 3 for i in ids[4:])
+
+    def test_weighted_rest_draws_follow_performance(self):
+        import jax.numpy as jnp
+
+        from activegs_tpu.mapping import keyframes as kf
+
+        batch, active, draws = 8, 3, 300
+        buf = self._filled_buf(kf, n_frames=12)
+        # frame 2 carries 10x the error weight of the other rest frames
+        perf = np.ones(16, np.float32)
+        perf[2] = 10.0
+        buf = kf.update_performance(buf, jnp.arange(16), jnp.asarray(perf))
+        counts = self._rest_histogram(kf.sample_weighted, buf, batch, active, draws)
+        n_rest = 9
+        assert counts[n_rest:].sum() == 0
+        others = np.delete(counts[:n_rest], 2)
+        # weighted-without-replacement damps the 10x weight (frame 2 can
+        # appear at most once per call) but it must clearly dominate
+        assert counts[2] > 1.8 * others.mean()
+        assert others.min() > 0
+
+
 class TestSubsetTraining:
     """Per-view in-view compaction must be EXACT vs the full path (frozen
     bins contract): same loss trajectory, same parameter updates."""

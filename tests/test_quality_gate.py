@@ -88,3 +88,82 @@ def test_mission_quality_pinned():
     # one-sided: improvements pass, a silent >0.5 dB regression fails
     assert psnr > PINNED_PSNR - 0.5, f"PSNR regressed: {psnr:.2f} dB"
     assert depth_mse < PINNED_DEPTH_MSE * 1.5, f"depth MSE regressed: {depth_mse:.5f}"
+
+
+# ---- planner-in-loop gate (VERDICT r3 #5) -------------------------------
+
+# committed quality of a fixed-seed 6-step CONFIDENCE-PLANNER mission
+# (64^2, voxel map on, prune fires at step 5): held-out PSNR averaged over
+# 4 poses sweeping the room + explored voxel fraction. A utility-function
+# regression (sign flip, ROI starvation, visibility bug) moves the flown
+# trajectory and fails one of these (measured: a utility SIGN FLIP scores
+# 4.87 dB / 0.391 explored — far past both margins). Update only
+# deliberately (NOTES entry).
+PINNED_MISSION_PSNR = 7.26
+PINNED_EXPLORED_FRAC = 0.81
+
+
+def _fly_mission_and_score():
+    from activegs_tpu.mapping import voxel_map as vm
+    from activegs_tpu.mapping.mapper import IncrementalMapper
+    from activegs_tpu.planning.confidence import ConfidencePlanner
+    from activegs_tpu.planning.planner import PlannerConfig
+
+    sim = BoxRoomSimulator(resolution=(RES, RES), seed=3, depth_noise_co=0.0)
+    voxcfg = vm.VoxelConfig(map_resolution=(0.4, 0.4, 0.4))
+    mapcfg = gm.MapConfig(capacity=32768, optimization_steps=5, bilateral_radius=2)
+    init_pose = (
+        (0.0, 0.0, 1.0, 1.0),
+        (-1.0, 0.0, 0.0, 2.5),
+        (0.0, -1.0, 0.0, 1.5),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+    planner = ConfidencePlanner(
+        PlannerConfig(
+            sample_num=12, max_roi_sample_num=4, radius=1.5, init_pose=init_pose
+        ),
+        mapcfg,
+        voxcfg,
+        RASTER,
+        seed=0,
+    )
+    mapper = IncrementalMapper(mapcfg, voxcfg, RASTER, keyframe_capacity=16)
+    mapper.load_simulator(sim)
+    mapper.load_planner(planner)
+    mapper.init_map()
+    for _ in range(6):
+        stats = mapper.step()
+    assert np.isfinite(stats["loss"])
+
+    # held-out views: from the room center toward each wall
+    center, z = (3.0, 2.5, 1.5), 1.3
+    test_poses = [
+        look_at_pose(center, (5.5, 2.5, z)),
+        look_at_pose(center, (0.5, 2.5, z)),
+        look_at_pose(center, (3.0, 4.5, z)),
+        look_at_pose(center, (3.0, 0.5, z)),
+    ]
+    attrs = gm.attrs_of(mapper.gm_state, mapcfg)
+    psnrs = []
+    for pose in test_poses:
+        gt = sim.simulate(pose, require_gt=True)
+        out, _ = render_view(
+            attrs,
+            Camera(extrinsic=gt["extrinsic"], intrinsic=gt["intrinsic"]),
+            (RES, RES),
+            RASTER,
+        )
+        psnrs.append(
+            float(metrics.cal_psnr(np.asarray(out.rgb), np.asarray(gt["rgb"])))
+        )
+    explored = 1.0 - float(np.asarray(mapper.vm_state.unexplored).mean())
+    return float(np.mean(psnrs)), explored
+
+
+def test_mission_quality_planner_in_loop():
+    psnr, explored = _fly_mission_and_score()
+    print(f"\nplanner-in-loop gate: psnr={psnr:.3f} dB, explored={explored:.3f}")
+    assert psnr > PINNED_MISSION_PSNR - 0.5, f"mission PSNR regressed: {psnr:.2f}"
+    assert explored > PINNED_EXPLORED_FRAC - 0.05, (
+        f"exploration regressed: {explored:.3f}"
+    )

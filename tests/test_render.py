@@ -19,16 +19,6 @@ from activegs_tpu.render.types import Camera, GaussianAttrs, RasterConfig
 # dense (no binning) and tiled agree exactly
 CFG = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, interpret=True)
 CFG_SMALL_CHUNK = RasterConfig(sigma_extent=3.5, max_dup=16, entry_budget_mult=20.0, chunk=8, interpret=True)
-# subtile packing: 16x16 binning, pair-interleaved [A k/2 | B k/2] chunks,
-# (2, K/2, P/2) kernel math — must match the same oracle
-CFG_PACK = RasterConfig(
-    sigma_extent=3.5,
-    max_dup=16,
-    entry_budget_mult=20.0,
-    chunk=8,
-    subtile_packing=True,
-    interpret=True,
-)
 
 
 def make_camera():
@@ -173,64 +163,11 @@ class TestBinning:
         b = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg)
         assert np.all(np.asarray(b.tile_start) % cfg.chunk == 0)
 
-    def test_packed_layout_matches_subtile_reference(self):
-        """The pair-interleaved layout must hold, per pair chunk,
-        [ksub entries of subtile A | ksub of B] where each subtile's
-        concatenated half-stream equals the PLAIN binning of the same view
-        at the subtile grid (tile_w/2, chunk/2) followed by -1 padding."""
-        import dataclasses
-
-        h = w = 64
-        cfg_p = CFG_PACK  # chunk=8 -> ksub=4
-        cfg_r = dataclasses.replace(
-            cfg_p,
-            subtile_packing=False,
-            tile_w=cfg_p.tile_w // 2,
-            chunk=cfg_p.chunk // 2,
-        )
-        attrs = make_attrs(80, seed=9)
-        from activegs_tpu.render import preprocess as pp
-
-        params2d, _, depth_z, in_view = pp.preprocess(
-            attrs, make_camera(), (h, w), cfg_p
-        )
-        bp = binning.bin_entries(
-            params2d, depth_z, in_view, (h, w), cfg_p, with_inverse=True
-        )
-        br = binning.bin_entries(params2d, depth_z, in_view, (h, w), cfg_r)
-        kc = cfg_p.chunk
-        ks = kc // 2
-        th, tw, ntx, nty = binning.bin_tile_dims((h, w), cfg_p)
-        assert binning.bin_tile_dims((h, w), cfg_r)[2] == ntx
-        assert int(bp.num_dropped) == 0 and int(br.num_dropped) == 0
-        gid_p, sp, lp = (np.asarray(x) for x in (bp.gid, bp.tile_start, bp.tile_len))
-        gid_r, sr, lr = (np.asarray(x) for x in (br.gid, br.tile_start, br.tile_len))
-        ntx_pair = ntx // 2
-        for p in range(ntx_pair * nty):
-            ty, txp = divmod(p, ntx_pair)
-            assert sp[p] % kc == 0 and lp[p] % kc == 0
-            seg = gid_p[sp[p] : sp[p] + lp[p]].reshape(-1, kc)
-            for s in range(2):
-                t = ty * ntx + 2 * txp + s
-                half = seg[:, s * ks : (s + 1) * ks].reshape(-1)
-                ref = gid_r[sr[t] : sr[t] + lr[t]]
-                np.testing.assert_array_equal(half[: len(ref)], ref)
-                assert np.all(half[len(ref) :] == -1)
-            ta = ty * ntx + 2 * txp
-            nch = max(-(-int(lr[ta]) // ks), -(-int(lr[ta + 1]) // ks))
-            assert lp[p] == nch * kc
-        # inverse positions point at their own gaussian's slots
-        inv = np.asarray(bp.inv_pos)
-        for i in range(inv.shape[0]):
-            for j in range(inv.shape[1]):
-                if inv[i, j] >= 0:
-                    assert gid_p[inv[i, j]] == i
-
 
 class TestForward:
     @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
     @pytest.mark.parametrize(
-        "cfg", [CFG, CFG_SMALL_CHUNK, CFG_PACK], ids=["k128", "k8", "pack"]
+        "cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"]
     )
     def test_matches_dense_oracle(self, cfg, xtp):
         # xtp=True pins the cross_tile_prefetch slot arithmetic (slot_of,
@@ -261,7 +198,7 @@ class TestForward:
 
     @pytest.mark.parametrize("xtp", [False, True], ids=["seq", "xtp"])
     @pytest.mark.parametrize(
-        "base", [CFG_SMALL_CHUNK, CFG_PACK], ids=["plain", "pack"]
+        "base", [CFG_SMALL_CHUNK], ids=["plain"]
     )
     def test_opaque_wall_early_termination(self, base, xtp):
         # stack many opaque surfels; front ones fully occlude the back
@@ -355,7 +292,7 @@ def _loss_fn(render, attrs, key):
 
 class TestBackward:
     @pytest.mark.parametrize(
-        "cfg", [CFG, CFG_SMALL_CHUNK, CFG_PACK], ids=["k128", "k8", "pack"]
+        "cfg", [CFG, CFG_SMALL_CHUNK], ids=["k128", "k8"]
     )
     def test_grads_match_dense_autodiff(self, cfg):
         attrs = make_attrs(48, seed=7)
@@ -496,7 +433,7 @@ class TestBackward:
 
 
 class TestStats:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_PACK], ids=["plain", "pack"])
+    @pytest.mark.parametrize("cfg", [CFG], ids=["plain"])
     def test_importance_count_match_dense(self, cfg):
         attrs = make_attrs(64, seed=11)
         cam = make_camera()
@@ -706,14 +643,6 @@ class TestPrebinnedRender:
     def test_frozen_bins_gradients_match_plan(self, monkeypatch):
         self.test_frozen_bins_gradients_match(monkeypatch, plan_mode=True)
 
-    def test_frozen_bins_gradients_match_pack_plan(self, monkeypatch):
-        # the packed layout's min-slot head construction under the sort plan
-        self.test_frozen_bins_gradients_match(
-            monkeypatch, plan_mode=True, cfg=CFG_PACK
-        )
-
-    def test_frozen_bins_gradients_match_pack_inv(self, monkeypatch):
-        self.test_frozen_bins_gradients_match(monkeypatch, cfg=CFG_PACK)
 
 
 class TestBf16:
