@@ -54,6 +54,15 @@ class MapConfig:
     # config loader and bench turn it ON for production (one parity test
     # covers the unrolled structure on CPU).
     unroll_views: bool = False
+    # Render all views of a train step through ONE Pallas fwd + bwd dispatch
+    # (renderer.render_views_batched: concatenated tile tables + entry
+    # streams over a V*T grid). MEASURED SLOWER on the v5e bench: 56.2 ->
+    # 49.2 Mrays/s — the entry-concat, per-view dentries slicing, and the
+    # batched (V,nty,ntx,C,th,tw) assembly transpose add ~4.4 ms/step of
+    # relayout while device IDLE barely moves (2.65 -> 2.33 ms: the per-view
+    # launch gaps the fusion was meant to close were never the IDLE source).
+    # Kept as a tested option (parity test on CPU); default off.
+    fused_view_kernel: bool = False
     mean_lr: float = 5e-4
     rotation_lr: float = 5e-4
     opacity_lr: float = 1e-2

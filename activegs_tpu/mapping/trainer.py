@@ -133,21 +133,51 @@ def batch_loss(
         sels, selvs, _invs, plan = subsets
         stacked = subset_packed_batch(pack_attrs(attrs), sels, selvs, plan)
 
-        def one(args):
-            ext, intr, b, rows, rgb_v, depth_v = args
-            o, _aux = render_view(
-                unpack_attrs(rows),
-                Camera(extrinsic=ext, intrinsic=intr),
+        if cfg.fused_view_kernel:
+            # all V views through ONE fwd + ONE bwd kernel dispatch
+            # (renderer.render_views_batched). Measured SLOWER than the
+            # unrolled per-view launches on the v5e bench (49.2 vs 56.2
+            # Mrays/s, see MapConfig.fused_view_kernel); kept as an option
+            from ..render.renderer import render_views_batched
+
+            out, _aux = render_views_batched(
+                [unpack_attrs(stacked[i]) for i in range(v)],
+                [
+                    Camera(extrinsic=extrinsics[i], intrinsic=intrinsics[i])
+                    for i in range(v)
+                ],
                 (h, w),
                 raster_cfg,
                 background=background,
-                bin_result=b,
+                bin_results=[jax.tree.map(lambda x: x[i], bins) for i in range(v)],
             )
-            return _view_loss(o, rgb_v, depth_v, intr)
+            outs = [
+                _view_loss(
+                    jax.tree.map(lambda x: x[i], out),
+                    rgb_gt[i],
+                    depth_gt[i],
+                    intrinsics[i],
+                )
+                for i in range(v)
+            ]
+            terms = jax.tree.map(lambda *ys: jnp.stack(ys), *outs)
+        else:
 
-        terms = view_map(
-            one, (extrinsics, intrinsics, bins, stacked, rgb_gt, depth_gt)
-        )
+            def one(args):
+                ext, intr, b, rows, rgb_v, depth_v = args
+                o, _aux = render_view(
+                    unpack_attrs(rows),
+                    Camera(extrinsic=ext, intrinsic=intr),
+                    (h, w),
+                    raster_cfg,
+                    background=background,
+                    bin_result=b,
+                )
+                return _view_loss(o, rgb_v, depth_v, intr)
+
+            terms = view_map(
+                one, (extrinsics, intrinsics, bins, stacked, rgb_gt, depth_gt)
+            )
     elif subsets is not None:
         packed = pack_attrs(attrs)
         sels, selvs, invs = subsets

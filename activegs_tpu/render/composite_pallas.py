@@ -116,10 +116,16 @@ def _excl_cumprod_total(one_m: jnp.ndarray, k: int):
     )
 
 
-def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig):
+def _tile_pixel_coords(t, ntx: int, cfg: RasterConfig, tpv=None):
     """Pixel-center coordinates (1, P) of program t's tile_h x tile_w tile
-    (ntx = tile grid width)."""
+    (ntx = tile grid width). tpv = tiles per view when several views share
+    one grid (renderer.render_views_batched concatenates per-view tile
+    tables, so program t renders view t//tpv's tile t%tpv); None = a
+    single-view grid — the traced program is then IDENTICAL to the
+    pre-batched form, preserving existing compile-cache entries."""
     p = cfg.tile_pixels
+    if tpv is not None:
+        t = t % tpv
     tx = t % ntx
     ty = t // ntx
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -170,14 +176,26 @@ def _entry_dma(entries_ref, buf, sem, start, chunk, slot, kchunk):
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg):
+def _fwd_kernel(
+    start_ref,
+    len_ref,
+    entries_ref,
+    out_ref,
+    buf,
+    sem,
+    *,
+    ntx,
+    cfg,
+    approx=False,
+    tpv=None,
+):
     kchunk = cfg.chunk
     p = cfg.tile_pixels
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
-    px, py = _tile_pixel_coords(t, ntx, cfg)
+    px, py = _tile_pixel_coords(t, ntx, cfg, tpv)
     xtp = cfg.cross_tile_prefetch
 
     if xtp:
@@ -217,7 +235,7 @@ def _fwd_kernel(start_ref, len_ref, entries_ref, out_ref, buf, sem, *, ntx, cfg)
         # no tail mask needed: K-alignment dummy entries (gid = -1) are
         # gathered as exact zero rows, which evaluate to alpha = 0 through
         # opacity * exp(0) = 0 and the alpha_cut zeroing
-        alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg)  # (K, P)
+        alpha, tdep = pp.eval_alpha_depth_cols(cols, px, py, cfg, approx)  # (K, P)
 
         one_m = 1.0 - alpha  # pair dtype (bf16 under cfg.bf16_pairs)
         excl, total = _excl_cumprod_total(one_m, kchunk)
@@ -291,6 +309,8 @@ def _bwd_kernel(
     *,
     ntx,
     cfg,
+    approx=False,
+    tpv=None,
 ):
     kchunk = cfg.chunk
     t = pl.program_id(0)
@@ -298,7 +318,7 @@ def _bwd_kernel(
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
     stop = stop_ref[t]
-    px, py = _tile_pixel_coords(t, ntx, cfg)
+    px, py = _tile_pixel_coords(t, ntx, cfg, tpv)
     triu_s = _tri_strict(kchunk, upper=True) if cfg.mxu_scan else None
 
     g = gout_ref[0]  # (OUT_ROWS, P)
@@ -359,7 +379,7 @@ def _bwd_kernel(
 
         e = rbuf[i % 2]
         cols = _chunk_cols(e, cfg)
-        terms = pp.eval_pair_terms_bwd(cols, px, py, cfg)
+        terms = pp.eval_pair_terms_bwd(cols, px, py, cfg, approx)
         tdep = terms["t"]
         # dummy entries are zero rows -> alpha 0, inside False: every grad
         # chain below already zeroes them, no tail mask needed
@@ -386,7 +406,7 @@ def _bwd_kernel(
             sfx = incl[..., -1:, :] - incl
             tot_wq = incl[..., -1:, :].astype(jnp.float32)
         suffix = s_q.astype(dt) + sfx  # entries strictly after k
-        dalpha = t_k * q_d - (suffix + gtf) / jnp.maximum(one_m, 0.01)
+        dalpha = t_k * q_d - (suffix + gtf) * pp.recip(jnp.maximum(one_m, 0.01), approx)
         # Mosaic v5e has no bf16 vector compare: the active mask runs on an
         # f32 upcast, against the alpha_max value as rounded by the forward
         # clamp in the pair dtype (else clamped entries leak gradient)
@@ -515,13 +535,15 @@ def _stats_kernel(
     *,
     ntx,
     cfg,
+    approx=False,
+    tpv=None,
 ):
     kchunk = cfg.chunk
     t = pl.program_id(0)
     start = start_ref[t]
     ln = len_ref[t]
     nch = pl.cdiv(ln, kchunk)
-    px, py = _tile_pixel_coords(t, ntx, cfg)
+    px, py = _tile_pixel_coords(t, ntx, cfg, tpv)
     # (8, P) broadcast rows; row 0 is the real mask
     mask = mask_ref[0]
     pix_mask = mask[0:1, :]
@@ -556,7 +578,7 @@ def _stats_kernel(
 
         e = buf[i % 2]
         cols = _chunk_cols(e, cfg)
-        alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg)
+        alpha, _ = pp.eval_alpha_depth_cols(cols, px, py, cfg, approx)
         one_m = 1.0 - alpha
         excl, total = _excl_cumprod_total(one_m, kchunk)
         wgt = alpha * excl * trans
@@ -647,9 +669,11 @@ def _out_block(num_programs: int, cfg: RasterConfig):
     return (1, OUT_ROWS, cfg.tile_pixels), num_programs
 
 
-def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
+def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg, tpv=None):
     interpret = _use_interpret(cfg)
-    kernel = functools.partial(_fwd_kernel, ntx=ntx, cfg=cfg)
+    kernel = functools.partial(
+        _fwd_kernel, ntx=ntx, cfg=cfg, approx=not interpret, tpv=tpv
+    )
     blk, out_rows = _out_block(num_tiles, cfg)
     return pl.pallas_call(
         kernel,
@@ -674,9 +698,13 @@ def _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg):
     )(tile_start, tile_len, entries)
 
 
-def _run_bwd(entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx, cfg):
+def _run_bwd(
+    entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx, cfg, tpv=None
+):
     interpret = _use_interpret(cfg)
-    kernel = functools.partial(_bwd_kernel, ntx=ntx, cfg=cfg)
+    kernel = functools.partial(
+        _bwd_kernel, ntx=ntx, cfg=cfg, approx=not interpret, tpv=tpv
+    )
     blk, _ = _out_block(num_tiles, cfg)
     return pl.pallas_call(
         kernel,
@@ -702,25 +730,38 @@ def _run_bwd(entries, tile_start, tile_len, stop, out_fwd, gout, num_tiles, ntx,
     )(tile_start, tile_len, stop, entries, out_fwd, gout)
 
 
+def _unpack_static(static):
+    """static = (num_tiles, ntx, cfg[, tiles_per_view]). The optional 4th
+    element batches several concatenated views onto one grid (see
+    renderer.render_views_batched); a 3-tuple (or tpv == num_tiles) keeps
+    the single-view traced program byte-identical."""
+    num_tiles, ntx, cfg = static[:3]
+    tpv = static[3] if len(static) > 3 else None
+    if tpv == num_tiles:
+        tpv = None
+    return num_tiles, ntx, cfg, tpv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def composite_tiled(entries, tile_start, tile_len, static):
-    """Differentiable tiled composite. static = (num_tiles, ntx, cfg)."""
-    num_tiles, ntx, cfg = static
-    return _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
+    """Differentiable tiled composite. static = (num_tiles, ntx, cfg) or
+    (num_tiles, ntx, cfg, tiles_per_view) for multi-view batched grids."""
+    num_tiles, ntx, cfg, tpv = _unpack_static(static)
+    return _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg, tpv)
 
 
 def _composite_fwd(entries, tile_start, tile_len, static):
-    num_tiles, ntx, cfg = static
-    out = _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg)
+    num_tiles, ntx, cfg, tpv = _unpack_static(static)
+    out = _run_fwd(entries, tile_start, tile_len, num_tiles, ntx, cfg, tpv)
     stop = out[:, ROW_STOP, 0].astype(jnp.int32)
     return out, (entries, tile_start, tile_len, stop, out)
 
 
 def _composite_bwd(static, res, gout):
-    num_tiles, ntx, cfg = static
+    num_tiles, ntx, cfg, tpv = _unpack_static(static)
     entries, tile_start, tile_len, stop, out = res
     dentries = _run_bwd(
-        entries, tile_start, tile_len, stop, out, gout, num_tiles, ntx, cfg
+        entries, tile_start, tile_len, stop, out, gout, num_tiles, ntx, cfg, tpv
     )
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return dentries, f0(tile_start), f0(tile_len)
@@ -730,14 +771,20 @@ composite_tiled.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_stats(
-    entries, tile_start, tile_len, pixel_mask, num_tiles, ntx, cfg, weight_thres
+    entries, tile_start, tile_len, pixel_mask, num_tiles, ntx, cfg, weight_thres,
+    tpv=None,
 ):
     """Per-entry importance/count replay (`count`/`importance` outputs of the
     CUDA rasterizer, used by `gaussian_map.py:193-232`). pixel_mask:
     (T, 8, P) f32 (row 0 = render mask; padded rows for tiling). Returns
-    (importance (1, E), count (1, E))."""
+    (importance (1, E), count (1, E)). tpv batches concatenated views onto
+    one grid (see composite_tiled)."""
     interpret = _use_interpret(cfg)
-    kernel = functools.partial(_stats_kernel, ntx=ntx, cfg=cfg)
+    if tpv == num_tiles:
+        tpv = None
+    kernel = functools.partial(
+        _stats_kernel, ntx=ntx, cfg=cfg, approx=not interpret, tpv=tpv
+    )
     thres = jnp.full((1, 1), weight_thres, jnp.float32)
     mask_blk = (1, 8, cfg.tile_pixels)
     return pl.pallas_call(

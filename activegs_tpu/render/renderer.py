@@ -482,6 +482,97 @@ def render_view(
     return output, aux
 
 
+def _tiles_to_image_batched(out_tiles: jnp.ndarray, v: int, image_shape, cfg):
+    """(V*T, C, P) concatenated tile-major output -> (V, C, h, w) images in
+    ONE relayout (the per-view form would issue V separate transposes)."""
+    h, w = image_shape
+    th, tw, ntx, nty = binning.bin_tile_dims(image_shape, cfg)
+    c = out_tiles.shape[1]
+    img = out_tiles.reshape(v, nty, ntx, c, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2, 5).reshape(v, c, nty * th, ntx * tw)
+    return img[:, :, :h, :w]
+
+
+def render_views_batched(
+    attrs_per_view: list,
+    cameras: list,
+    image_shape: tuple[int, int],
+    cfg: RasterConfig = RasterConfig(),
+    background: Optional[jnp.ndarray] = None,
+    bin_results: Optional[list] = None,
+    entry_budget: int | None = None,
+):
+    """Render V posed views through ONE compositor dispatch (fwd and bwd).
+
+    Per-view preprocessing/binning/entry gathers stay per-view XLA ops; the
+    per-view tile tables and entry streams are concatenated so the Pallas
+    fwd+bwd kernels launch once over a V*T grid instead of V times. Entry
+    offsets stay 128-aligned because every entry budget is a multiple of
+    128 (trainer bucket ladder).
+
+    MEASURED SLOWER than unrolled per-view launches on the v5e train bench
+    (49.2 vs 56.2 Mrays/s, r4 trace diff): the entry concat, the per-view
+    dentries slices in backward, and the batched 6D assembly transpose add
+    ~+1.6 ms transpose, +0.8 ms reshape, +0.4 ms pad per step while device
+    IDLE only drops 2.65 -> 2.33 ms — per-view dispatch gaps were never the
+    IDLE source. Kept as a tested option (MapConfig.fused_view_kernel);
+    candidate batches with no backward may still profit — measure first.
+
+    Per-view results are identical to `render_view` (same per-tile programs,
+    same chunk boundaries); only dispatch structure and the tile->image
+    relayout (now one op) change. Returns (RenderOutput with leading V axis,
+    aux with stacked num_dropped)."""
+    v = len(attrs_per_view)
+    h, w = image_shape
+    num_tiles, kntx = _kernel_static(image_shape, cfg)
+    entries_l, bins_l = [], []
+    for i in range(v):
+        entries, b, _, _, _ = _prepare_entries(
+            attrs_per_view[i],
+            cameras[i],
+            image_shape,
+            cfg,
+            False,
+            bin_results[i] if bin_results is not None else None,
+            entry_budget,
+        )
+        entries_l.append(entries)
+        bins_l.append(b)
+    e_size = entries_l[0].shape[1]
+    assert all(e.shape[1] == e_size for e in entries_l), "equal budgets required"
+    entries_all = jnp.concatenate(entries_l, axis=1)
+    starts = jnp.concatenate(
+        [b.tile_start + jnp.int32(i * e_size) for i, b in enumerate(bins_l)]
+    )
+    lens = jnp.concatenate([b.tile_len for b in bins_l])
+    static = (v * num_tiles, kntx, cfg, num_tiles)
+    out_all = cp.composite_tiled(entries_all, starts, lens, static)
+    img = _tiles_to_image_batched(
+        out_all[:, : cp.ROW_TRANS + 1], v, image_shape, cfg
+    )  # (V, 9, h, w)
+
+    trans = img[:, cp.ROW_TRANS : cp.ROW_TRANS + 1]
+    rgb = img[:, 0:3]
+    if background is not None:
+        rgb = rgb + trans * background[None, :, None, None]
+    opacity = 1.0 - trans
+    vis = jax.lax.stop_gradient(opacity) > 1e-2
+    normal = img[:, 3:6]
+    n2 = jnp.sum(normal * normal, axis=1, keepdims=True)
+    normal = normal * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+    normal = normal * vis
+
+    output = RenderOutput(
+        rgb=rgb,
+        depth=img[:, cp.ROW_DEPTH : cp.ROW_DEPTH + 1],
+        normal=normal,
+        opacity=opacity,
+        confidence=img[:, cp.ROW_CONF : cp.ROW_CONF + 1],
+    )
+    aux = {"num_dropped": jnp.stack([b.num_dropped for b in bins_l])}
+    return output, aux
+
+
 def render_stats(
     attrs: GaussianAttrs,
     camera: Camera,

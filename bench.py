@@ -10,6 +10,42 @@ CUDA tile rasterizer's fwd+bwd throughput on its tested single-GPU platform
 (BASELINE.json `published` is empty; 3DGS-class rasterizers land at
 ~1-2 ms/512^2 view fwd+bwd on consumer GPUs => ~1.3-5e8 rays/s).
 
+Single-chip roofline (v5e, bench shape: 512^2 x 8 views x 10 steps, 200k
+surfels, subset bucket 32768, entry budget 65536; measured r3-r4):
+
+  pairs/step   318.7M = 622,464 K-aligned entry slots x 512 px/tile.
+               (Real entries 418,359; the 33% padding is structural —
+               Mosaic DMA slices must be 128-lane aligned, so every
+               tile segment rounds up to K=128.)
+  VPU rates    mul 4.79 / add 5.54 / fma 4.84 / cmp+sel 8.33 / exp 4.06
+               Tops/s f32 (scripts/microbench_vpu.py, op-counted).
+  fwd kernel   ~44 VPU ops/pair -> 2.9 ms ALU floor; measured 7.3 ms.
+  bwd kernel   ~66 VPU ops/pair + 128 MXU MACs/pair (triangular suffix
+               matmul, HIGHEST) -> ~4.3 ms VPU + ~2.5 ms MXU floor;
+               measured 13.8 ms.
+  gathers      5.6 ms measured, AT the per-index floor (~4.2 ns/idx,
+               layout- and row-count-independent past the u16 detour).
+  glue         ~10.7 ms measured: loss-pipeline tail 3.4, IDLE 2.6,
+               relayouts 2.3, reduce_sum 1.1, binning sort 0.8.
+
+The ~2.5x kernel gap over the pure-ALU floor is pipeline structure, not
+op count: a ~1 us fixed cost per chunk-iteration (DMA wait + loop
+overhead; measured-by-difference, consistent across BOTH kernels over
+their 4,863 chunk-iterations/step) plus cross-sublane scan shifts.
+Structural redesigns measured and rejected: MXU moment sums (r2), bf16
+pair math (r2: 33.8 vs 37.6 Mrays/s), two-subtile packing (r3: 55.1 ->
+51.3), fused multi-view dispatch (r4: 56.2 -> 49.2; IDLE barely moved,
+so per-view launch gaps are NOT the IDLE source), chunk=256 (r4: +57%
+padded pairs for -21% chunk count — a wash by both cost models);
+explicit approx-reciprocal+NR landed +1% (r4: 55.6 -> 56.2).
+
+Per-chip ceiling GIVEN this measured structure: kernels ~21 + gathers
+5.6 + irreducible glue ~3 = ~30 ms/step = ~70 Mrays/s. Current 56.2
+Mrays/s sits 1.25x off that ceiling, the residual itemized above (loss
+tail / IDLE / relayouts). The 2.0e8 vs_baseline constant is the
+cross-architecture CUDA-class reference, NOT this per-chip ceiling; the
+TPU-native scale axis is the view/candidate mesh (bench.py --scaling).
+
 Prints ONE JSON line.
 """
 

@@ -554,6 +554,27 @@ class TestSubsetTraining:
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
 
+    def test_train_fused_view_kernel_matches_unrolled(self):
+        """MapConfig.fused_view_kernel (all views through one V*T-grid
+        compositor dispatch, renderer.render_views_batched) must reproduce
+        the per-view-dispatch trajectory — same per-tile programs and chunk
+        boundaries, so only XLA regrouping differs. (Measured slower on the
+        v5e bench, kept as a tested option; see the MapConfig field note.)"""
+        cfg, raster, state, buf = self._setup()
+        key = jax.random.PRNGKey(11)
+        cfg_u = dataclasses.replace(cfg, unroll_views=True)
+        s_unr, _, loss_unr, _ = trainer.train_keyframe(
+            state, buf, key, cfg_u, raster, subset_bucket=128
+        )
+        cfg_f = dataclasses.replace(cfg_u, fused_view_kernel=True)
+        s_fus, _, loss_fus, _ = trainer.train_keyframe(
+            state, buf, key, cfg_f, raster, subset_bucket=128
+        )
+        assert float(loss_fus) == pytest.approx(float(loss_unr), rel=1e-5)
+        a, b = np.asarray(s_fus.means), np.asarray(s_unr.means)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
     def test_train_subset_sharded_matches_full(self):
         cfg, raster, state, buf = self._setup()
         from activegs_tpu.parallel import make_view_mesh
