@@ -77,8 +77,22 @@ def main():
             k: round(mean([s["phase_times"].get(k, 0.0) for s in steady]), 3)
             for k in phases
         },
+        # utility_stats/utility_batch are SUB-phases of "utility" (see
+        # planning/confidence.candidate_utilities) — excluded from the sum
+        # or planning_s would double-count them
         "planning_s": round(
-            mean([sum(s["plan_times"].values()) for s in steady]) or 0.0, 3
+            mean(
+                [
+                    sum(
+                        v
+                        for k, v in s["plan_times"].items()
+                        if not k.startswith("utility_")
+                    )
+                    for s in steady
+                ]
+            )
+            or 0.0,
+            3,
         ),
         "plan_phase_s": {
             k: round(mean([s["plan_times"].get(k, 0.0) for s in steady]), 3)
