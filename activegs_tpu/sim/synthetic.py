@@ -81,6 +81,50 @@ def default_room():
     )
 
 
+def two_room():
+    """Two 5 x 5 x 3 m rooms joined by a 1.2 m-wide, 2.1 m-tall doorway in
+    a dividing wall — the canonical active-exploration shape (the reference
+    sweeps multiple Replica apartments for the same reason, `run.sh:9-27`):
+    room B is invisible from the start pose, so frontier/exploration
+    utility must route the robot through the door; in the convex boxroom
+    exploration is nearly trivial."""
+    verts = []
+    faces = []
+    mats = []
+
+    def add(bmin, bmax, mat, inward=False):
+        v, f = _box(bmin, bmax, inward)
+        faces.append(f + sum(len(x) for x in verts))
+        verts.append(v)
+        mats.append(np.full(len(f), mat))
+
+    add((0.0, 0.0, 0.0), (10.0, 5.0, 3.0), 0, inward=True)  # outer shell
+    # dividing wall at x ~ 5 m with a doorway y in [1.9, 3.1], z < 2.1
+    add((4.92, 0.0, 0.0), (5.08, 1.9, 3.0), 0)  # wall, left of door
+    add((4.92, 3.1, 0.0), (5.08, 5.0, 3.0), 0)  # wall, right of door
+    add((4.92, 1.9, 2.1), (5.08, 3.1, 3.0), 0)  # lintel above door
+    # room A furniture
+    add((1.0, 1.0, 0.0), (2.2, 2.0, 0.9), 1)  # table
+    add((2.8, 3.6, 0.0), (3.4, 4.2, 0.5), 3)  # stool
+    # room B furniture
+    add((6.2, 3.4, 0.0), (8.2, 4.6, 0.6), 2)  # bed
+    add((9.2, 0.4, 0.0), (9.8, 1.6, 1.8), 4)  # shelf
+    return (
+        np.concatenate(verts).astype(np.float32),
+        np.concatenate(faces).astype(np.int32),
+        np.concatenate(mats).astype(np.int32),
+    )
+
+
+# scene registry consumed by `BoxRoomSimulator.from_config` via
+# `cfg.scene.scene_name` (the analog of the reference's Replica scene
+# selection, `config/scene/replica/*.yaml`)
+SCENE_BUILDERS = {
+    "boxroom": default_room,
+    "tworoom": two_room,
+}
+
+
 _BASE_COLORS = np.array(
     [
         [0.75, 0.72, 0.68],  # walls
@@ -173,12 +217,18 @@ class BoxRoomSimulator(SimulatorBase):
     @classmethod
     def from_config(cls, cfg):
         s = cfg.simulator
+        name = cfg.scene.scene_name
+        if name not in SCENE_BUILDERS:
+            raise ValueError(
+                f"unknown synthetic scene {name!r}; have {sorted(SCENE_BUILDERS)}"
+            )
         return cls(
             resolution=tuple(s.sensor.resolution),
             fov=tuple(s.sensor.fov),
             depth_range=tuple(s.sensor.depth_range),
             depth_noise_co=s.sensor.depth_noise_co,
-            scene_name=cfg.scene.scene_name,
+            scene=SCENE_BUILDERS[name](),
+            scene_name=name,
         )
 
     def render_clean(self, c2w):

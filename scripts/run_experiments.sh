@@ -4,7 +4,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SCENES=${SCENES:-"synthetic/boxroom"}
+SCENES=${SCENES:-"synthetic/boxroom synthetic/tworoom"}
 PLANNERS=${PLANNERS:-"confidence confidence_wo_roi exploration random"}
 RUNS=${RUNS:-5}
 EXP_ID=${EXP_ID:-sweep}
