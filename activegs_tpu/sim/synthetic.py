@@ -222,6 +222,11 @@ class BoxRoomSimulator(SimulatorBase):
             raise ValueError(
                 f"unknown synthetic scene {name!r}; have {sorted(SCENE_BUILDERS)}"
             )
+        # scenes with unreturned surfaces (the missing -2 sentinel /
+        # valid-mask planner path, `habitat_simulator.py:121-123`,
+        # `confidence.py:53-64`): the scene config's `missing_band` [z0, z1]
+        # drops wall returns in that height band
+        band = cfg.scene.get("missing_band", None)
         return cls(
             resolution=tuple(s.sensor.resolution),
             fov=tuple(s.sensor.fov),
@@ -229,6 +234,7 @@ class BoxRoomSimulator(SimulatorBase):
             depth_noise_co=s.sensor.depth_noise_co,
             scene=SCENE_BUILDERS[name](),
             scene_name=name,
+            missing_band=tuple(band) if band else None,
         )
 
     def render_clean(self, c2w):

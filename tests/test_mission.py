@@ -198,3 +198,59 @@ class TestTwoRoomScene:
             if explored_b >= 10:
                 break
         assert explored_b >= 10, f"room B stayed unexplored ({explored_b} voxels)"
+
+
+class TestMissingSurface:
+    """The missing-surface path: scenes whose sensor returns no surface in
+    some regions (-2 sentinel, `habitat_simulator.py:121-123`); the planner
+    must then score candidates under per-candidate valid masks
+    (`confidence.py:53-64`). Wired via scene config `missing_band`."""
+
+    def test_config_wires_band_and_sentinels(self):
+        from activegs_tpu.config import load_config
+        from activegs_tpu.sim import get_simulator
+
+        cfg = load_config(
+            "main",
+            ["scene=synthetic/boxroom_holes", "simulator.sensor.resolution=[48,48]"],
+        )
+        sim = get_simulator(cfg)
+        assert sim.has_missing_surface
+        c2w = np.array(
+            [
+                [0.0, 0.0, 1.0, 1.0],
+                [-1.0, 0.0, 0.0, 2.5],
+                [0.0, -1.0, 0.0, 1.5],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+        frame = sim.simulate(c2w)
+        depth = np.asarray(frame["depth"][0])
+        assert (depth == -2.0).any(), "band did not produce -2 sentinels"
+        assert (depth > 0).any()
+        # valid_mask_only fast path excludes the band
+        mask = sim.simulate(c2w, valid_mask_only=True)
+        assert mask.dtype == bool and (~mask).any() and mask.any()
+
+    def test_planner_valid_masks(self):
+        sim = BoxRoomSimulator(
+            resolution=(RES, RES), seed=1, missing_band=(1.2, 1.8)
+        )
+        planner = ConfidencePlanner(
+            PlannerConfig(sample_num=4, max_roi_sample_num=0),
+            MAPCFG,
+            VOXCFG,
+            RASTER,
+            seed=0,
+        )
+        cands = np.tile(np.eye(4, dtype=np.float32)[None], (3, 1, 1))
+        cands[:, :3, 3] = [[1.0, 2.5, 1.5], [2.0, 2.5, 1.5], [3.0, 2.5, 1.5]]
+        # looking +x like the mission init pose
+        cands[:, :3, :3] = np.array(
+            [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], np.float32
+        )
+        masks, t_sim = planner._candidate_valid_masks(cands, sim, (16, 16))
+        assert masks.shape == (3, 16, 16)
+        assert t_sim > 0  # the simulator path actually ran
+        assert (~masks).any() and masks.any()
