@@ -218,9 +218,13 @@ class BoxRoomSimulator(SimulatorBase):
     def from_config(cls, cfg):
         s = cfg.simulator
         name = cfg.scene.scene_name
-        if name not in SCENE_BUILDERS:
+        # scene_name doubles as the experiment-dir name; `geometry` lets a
+        # variant (e.g. boxroom_holes) reuse a builder WITHOUT its runs
+        # colliding with the base scene's experiment directories
+        geom = cfg.scene.get("geometry", name)
+        if geom not in SCENE_BUILDERS:
             raise ValueError(
-                f"unknown synthetic scene {name!r}; have {sorted(SCENE_BUILDERS)}"
+                f"unknown synthetic scene {geom!r}; have {sorted(SCENE_BUILDERS)}"
             )
         # scenes with unreturned surfaces (the missing -2 sentinel /
         # valid-mask planner path, `habitat_simulator.py:121-123`,
@@ -232,7 +236,7 @@ class BoxRoomSimulator(SimulatorBase):
             fov=tuple(s.sensor.fov),
             depth_range=tuple(s.sensor.depth_range),
             depth_noise_co=s.sensor.depth_noise_co,
-            scene=SCENE_BUILDERS[name](),
+            scene=SCENE_BUILDERS[geom](),
             scene_name=name,
             missing_band=tuple(band) if band else None,
         )
