@@ -19,10 +19,11 @@ surfels, subset bucket 32768, entry budget 65536; measured r3-r4):
                tile segment rounds up to K=128.)
   VPU rates    mul 4.79 / add 5.54 / fma 4.84 / cmp+sel 8.33 / exp 4.06
                Tops/s f32 (scripts/microbench_vpu.py, op-counted).
-  fwd kernel   ~44 VPU ops/pair -> 2.9 ms ALU floor; measured 7.3 ms.
+  fwd kernel   ~44 VPU ops/pair -> 2.9 ms ALU floor; measured 6.9 ms
+               (7.3 before the approx-reciprocal change).
   bwd kernel   ~66 VPU ops/pair + 128 MXU MACs/pair (triangular suffix
                matmul, HIGHEST) -> ~4.3 ms VPU + ~2.5 ms MXU floor;
-               measured 13.8 ms.
+               measured 13.6 ms.
   gathers      5.6 ms measured, AT the per-index floor (~4.2 ns/idx,
                layout- and row-count-independent past the u16 detour).
   glue         ~10.7 ms measured: loss-pipeline tail 3.4, IDLE 2.6,
@@ -39,12 +40,13 @@ so per-view launch gaps are NOT the IDLE source), chunk=256 (r4: +57%
 padded pairs for -21% chunk count — a wash by both cost models);
 explicit approx-reciprocal+NR landed +1% (r4: 55.6 -> 56.2).
 
-Per-chip ceiling GIVEN this measured structure: kernels ~21 + gathers
-5.6 + irreducible glue ~3 = ~30 ms/step = ~70 Mrays/s. Current 56.2
-Mrays/s sits 1.25x off that ceiling, the residual itemized above (loss
-tail / IDLE / relayouts). The 2.0e8 vs_baseline constant is the
-cross-architecture CUDA-class reference, NOT this per-chip ceiling; the
-TPU-native scale axis is the view/candidate mesh (bench.py --scaling).
+Per-chip ceiling GIVEN this measured structure: kernels ~20.5 + gathers
+5.4 + irreducible glue ~3 = ~29 ms/step = ~72 Mrays/s. Current 56.8
+Mrays/s (37.0 ms/step) sits 1.27x off that ceiling, the residual
+itemized above (loss tail / IDLE / relayouts). The 2.0e8 vs_baseline
+constant is the cross-architecture CUDA-class reference, NOT this
+per-chip ceiling; the TPU-native scale axis is the view/candidate mesh
+(bench.py --scaling).
 
 Prints ONE JSON line.
 """
