@@ -64,17 +64,33 @@ def _view_loss(o, rgb_gt, depth_gt, intrinsic):
     the render map and averaging them afterwards is numerically the same
     reduction — and the (V, 9, H, W) image stack (plus its backward
     dynamic-slice/update ops, ~4 ms/step on the bench trace) never
-    materializes. Returns (rgb_l1, depth_l1, consistency, normal_tv)."""
+    materializes.
+
+    The rgb/depth/consistency pixel maps are folded into TWO weighted
+    (H, W) reductions (loss contribution + sampler error) instead of three
+    separate means — same math (the weights of `gaussian_map.py:119-124`
+    distribute over the sums), fewer reduce ops and backward broadcasts in
+    the per-step tail (VERDICT r4 ask #5). Returns (loss_v, err_v) scalars:
+    loss_v = rgb + 0.8 depth + 0.1 cons + 0.1 tv, err_v = rgb + depth."""
+    h, w = rgb_gt.shape[-2:]
     mask_vis = jax.lax.stop_gradient(o.opacity) > 1e-3
     mask_depth = depth_gt > 0.0
-    rgb_l1 = jnp.mean(losses.l1_masked(o.rgb, rgb_gt, mask_vis))
-    depth_l1 = jnp.mean(losses.l1_masked(o.depth, depth_gt, mask_depth))
+    # per-pixel term maps, each already carrying its channel-mean factor
+    rgb_px = jnp.sum(losses.l1_masked(o.rgb, rgb_gt, mask_vis), axis=0) / 3.0
+    depth_px = losses.l1_masked(o.depth, depth_gt, mask_depth)[0]
     d2n = depth_to_normal(o.depth[0], mask_vis[0], intrinsic).transpose(2, 0, 1)
-    cons = jnp.mean(losses.consistency_loss(o.normal[None], d2n[None])[0] * mask_vis[0])
+    cons_px = losses.consistency_loss(o.normal[None], d2n[None])[0] * mask_vis[0]
     tv = losses.normal_tv_loss(
         o.normal[None], jax.lax.stop_gradient(o.depth)[None], mask_depth[None]
     )
-    return rgb_l1, depth_l1, cons, tv
+    inv_px = 1.0 / (h * w)
+    loss_v = (
+        jnp.sum(rgb_px + losses.W_DEPTH * depth_px + losses.W_CONS * cons_px)
+        * inv_px
+        + losses.W_TV * tv
+    )
+    err_v = jnp.sum(rgb_px + depth_px) * inv_px
+    return loss_v, err_v
 
 
 def batch_loss(
@@ -102,6 +118,18 @@ def batch_loss(
     """
     rgb_gt, depth_gt, extrinsics, intrinsics = batch
     v, _, h, w = rgb_gt.shape
+    if cfg.fused_view_kernel and not (subsets is not None and len(subsets) == 4):
+        # the single-dispatch form needs the batched-subset layout (equal
+        # per-view entry budgets from one combine plan); every other branch
+        # silently fell back before — make the unsupported combination loud
+        import warnings
+
+        warnings.warn(
+            "fused_view_kernel=True is only honored on the batched-subset "
+            "path (subset_bucket set, single-device); falling back to "
+            "per-view dispatch",
+            stacklevel=2,
+        )
     state = _with_params(state, params)
     attrs = gm.attrs_of(state, cfg)
     from ..render.renderer import (
@@ -233,10 +261,12 @@ def batch_loss(
                 one_full, (extrinsics, intrinsics, bins, rgb_gt, depth_gt)
             )
 
-    rgb_t, depth_t, cons_t, tv_t = terms
-    total = losses.total_from_view_terms(rgb_t, depth_t, cons_t, tv_t)
-    per_frame = rgb_t + depth_t
-    return total, jax.lax.stop_gradient(per_frame)
+    loss_t, err_t = terms
+    # view-mean of per-view weighted totals == the stacked-batch 4-term
+    # total (equal view sizes; `losses.total_from_view_terms` is the
+    # unfused reference form, pinned equal by tests/test_mapping.py)
+    total = jnp.mean(loss_t)
+    return total, jax.lax.stop_gradient(err_t)
 
 
 @functools.partial(
@@ -461,7 +491,12 @@ def train_keyframe(
             0, steps, body, (params, opt_state, buf.performance, jnp.float32(0.0))
         )
         buf = dataclasses.replace(buf, performance=perf)
-        aux = {"num_dropped": jnp.sum(bins.num_dropped)}
+        aux = {
+            "num_dropped": jnp.sum(bins.num_dropped),
+            # real (unpadded) entries actually binned across the view batch —
+            # the denominator for the truncation-fraction telemetry
+            "num_entries": jnp.sum(bins.tile_len),
+        }
         return _with_params(state, params), buf, last_loss, aux
 
     def body(i, carry):
@@ -483,7 +518,7 @@ def train_keyframe(
     )
     buf = dataclasses.replace(buf, performance=perf)
     # per-step re-binning: drop counter not tracked on this path
-    aux = {"num_dropped": jnp.int32(-1)}
+    aux = {"num_dropped": jnp.int32(-1), "num_entries": jnp.int32(-1)}
     return _with_params(state, params), buf, last_loss, aux
 
 

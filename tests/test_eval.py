@@ -154,7 +154,7 @@ class TestEndToEndEval:
         for p in poses:
             f = sim.simulate(p)
             frames.append(f)
-            state, _ = gm.spawn(state, f, cfg, raster)
+            state, _, _ = gm.spawn(state, f, cfg, raster)
             buf = kf.add_frame(buf, f)
         import jax
 

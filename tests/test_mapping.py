@@ -83,7 +83,7 @@ class TestSimulator:
 class TestSpawn:
     def test_spawn_fills_prefix(self, frames):
         state = gm.init_state(MAPCFG)
-        state, n_new = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state, n_new, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         n_new = int(n_new)
         assert n_new > 100
         assert int(state.count) == n_new
@@ -99,11 +99,11 @@ class TestSpawn:
 
     def test_spawn_dedup_reduces_count(self, frames):
         state = gm.init_state(MAPCFG)
-        state, n1 = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state, n1, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         # spawning the same frame again: most pixels already covered by
         # low-error gaussians? (map untrained, so error mask may still fire;
         # at minimum capacity monotonicity and prefix invariant hold)
-        state2, n2 = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state2, n2, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         assert int(state2.count) == int(state.count) + int(n2)
 
     def test_spawn_on_bucketed_render_matches_full(self, frames):
@@ -112,11 +112,11 @@ class TestSpawn:
         the full-capacity render path (VERDICT r2 weak #5)."""
         cfg = dataclasses.replace(MAPCFG, capacity=16384)
         state = gm.init_state(cfg)
-        state, _ = gm.spawn(state, frames[0], cfg, RASTER)
+        state, _, _ = gm.spawn(state, frames[0], cfg, RASTER)
         bucket = gm.bucket_capacity(int(state.count), cfg.capacity, min_cap=1024)
         assert bucket < cfg.capacity  # the slice must actually slice
-        full, n_full = gm.spawn(state, frames[1], cfg, RASTER)
-        bucketed, n_b = gm.spawn(
+        full, n_full, _ = gm.spawn(state, frames[1], cfg, RASTER)
+        bucketed, n_b, _ = gm.spawn(
             state, frames[1], cfg, RASTER, render_bucket=bucket
         )
         assert int(n_full) == int(n_b)
@@ -129,7 +129,7 @@ class TestSpawn:
 
     def test_normals_face_camera(self, frames):
         state = gm.init_state(MAPCFG)
-        state, n_new = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state, n_new, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         n = int(n_new)
         normals = np.asarray(gm.normals_of(state))[:n]
         cam_pos = np.asarray(frames[0]["extrinsic"][:3, 3])
@@ -143,7 +143,7 @@ class TestTraining:
         state = gm.init_state(MAPCFG)
         buf = kf.init_buffer(8, RES, RES)
         for f in frames[:2]:
-            state, _ = gm.spawn(state, f, MAPCFG, RASTER)
+            state, _, _ = gm.spawn(state, f, MAPCFG, RASTER)
             buf = kf.add_frame(buf, f)
 
         from activegs_tpu.render.renderer import render_view
@@ -193,10 +193,53 @@ class TestTraining:
         got = losses.normal_tv_loss(normals, depths, mask, sigma)
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
 
+    def test_view_loss_matches_unfused_terms(self, frames):
+        """trainer._view_loss folds rgb/depth/consistency into two weighted
+        reductions (VERDICT r4 ask #5); it must equal the unfused 4-term
+        reference assembly (`gaussian_map.py:106-124`,
+        losses.total_from_view_terms) on a real render."""
+        from activegs_tpu.core.image_ops import depth_to_normal
+        from activegs_tpu.mapping import losses
+        from activegs_tpu.render.renderer import render_view
+        from activegs_tpu.render.types import Camera
+
+        state = gm.init_state(MAPCFG)
+        f = frames[0]
+        state, _, _ = gm.spawn(state, f, MAPCFG, RASTER)
+        out, _ = render_view(
+            gm.attrs_of(state, MAPCFG),
+            Camera(extrinsic=f["extrinsic"], intrinsic=f["intrinsic"]),
+            (RES, RES),
+            RASTER,
+        )
+        loss_v, err_v = trainer._view_loss(out, f["rgb"], f["depth"], f["intrinsic"])
+
+        # unfused reference form
+        mask_vis = out.opacity > 1e-3
+        mask_depth = f["depth"] > 0.0
+        rgb_l1 = jnp.mean(losses.l1_masked(out.rgb, f["rgb"], mask_vis))
+        depth_l1 = jnp.mean(losses.l1_masked(out.depth, f["depth"], mask_depth))
+        d2n = depth_to_normal(
+            out.depth[0], mask_vis[0], f["intrinsic"]
+        ).transpose(2, 0, 1)
+        cons = jnp.mean(
+            losses.consistency_loss(out.normal[None], d2n[None])[0] * mask_vis[0]
+        )
+        tv = losses.normal_tv_loss(
+            out.normal[None], out.depth[None], mask_depth[None]
+        )
+        ref_total = losses.total_from_view_terms(
+            rgb_l1[None], depth_l1[None], cons[None], tv[None]
+        )
+        np.testing.assert_allclose(float(loss_v), float(ref_total), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(err_v), float(rgb_l1 + depth_l1), rtol=1e-5
+        )
+
     def test_post_process_confidence_and_prune(self, frames):
         state = gm.init_state(MAPCFG)
         buf = kf.init_buffer(8, RES, RES)
-        state, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state, _, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         buf = kf.add_frame(buf, frames[0])
         far = frames[0]["depth_range"][1]
         state2, _ = trainer.post_process(
@@ -275,7 +318,7 @@ class TestVoxelMap:
         for f in frames:
             vstate = vm.update(vstate, grid, f)
         state = gm.init_state(MAPCFG)
-        state, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
+        state, _, _ = gm.spawn(state, frames[0], MAPCFG, RASTER)
         n = state.capacity
         vstate = vm.update_utility(
             vstate,

@@ -102,6 +102,58 @@ def test_checkpoint_roundtrip(mission, tmp_path):
     )
 
 
+def test_capacity_saturation_reports_and_prunes(tmp_path):
+    """A map at full static capacity must keep making progress, COUNT its
+    dropped spawns, and trigger an off-cadence prune — never lose spawns
+    silently (VERDICT r4 weak #4; the reference grows unboundedly,
+    `gaussian_map.py:410-468`, so truncation is a TPU-build deviation that
+    has to stay visible)."""
+    sim = BoxRoomSimulator(resolution=(RES, RES), seed=3)
+    # capacity far below one frame's spawn yield (64^2 = 4096 pixels)
+    cfg = gm.MapConfig(
+        capacity=1024,
+        optimization_steps=2,
+        bilateral_radius=2,
+        prune_interval=50,  # cadence never fires in 3 steps...
+        prune_occupancy=0.5,  # ...so any prune must be the occupancy trigger
+    )
+    init_pose = (
+        (0.0, 0.0, 1.0, 1.0),
+        (-1.0, 0.0, 0.0, 2.5),
+        (0.0, -1.0, 0.0, 1.5),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+    from activegs_tpu.planning.random_planner import RandomPlanner
+
+    planner = RandomPlanner(
+        PlannerConfig(
+            type="random", sample_num=6, max_roi_sample_num=0, radius=1.5,
+            init_pose=init_pose,
+        ),
+        cfg,
+        VOXCFG,
+        RASTER,
+        seed=0,
+    )
+    mapper = IncrementalMapper(cfg, VOXCFG, RASTER, keyframe_capacity=8)
+    mapper.load_simulator(sim)
+    mapper.load_planner(planner)
+    mapper.init_map()
+    stats = [mapper.step() for _ in range(3)]
+
+    # never overflows the static shape, and the mission keeps running
+    assert all(s["n_gaussians"] <= cfg.capacity for s in stats)
+    assert np.isfinite([s["loss"] for s in stats]).all()
+    # the overflow is counted, not silent
+    assert any(s["n_spawn_dropped"] > 0 for s in stats)
+    # the occupancy trigger forced a prune pass off the reference cadence
+    # (fresh spawns are all visible at opacity 0.5, so the pass may KEEP
+    # everything — what matters is that saturation triggers the response)
+    assert any(s["early_prune"] for s in stats)
+    # occupancy telemetry present and sane
+    assert all(0.0 <= s["capacity_occupancy"] <= 1.0 for s in stats)
+
+
 def test_recorder_snapshots(mission):
     mapper, recorder, _, out = mission
     recorder.save_map(mapper.gm_state, MAPCFG, "001")

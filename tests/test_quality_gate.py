@@ -51,7 +51,7 @@ def _fit_and_score():
     key = jax.random.PRNGKey(11)
     for p in train_poses:
         f = sim.simulate(p, require_gt=True)
-        state, _ = gm.spawn(
+        state, _, _ = gm.spawn(
             state,
             f,
             MAPCFG,
