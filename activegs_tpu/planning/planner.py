@@ -122,66 +122,90 @@ class PlanBase:
         if len(free_points) == 0:
             return np.zeros((0, 4, 4), np.float32)
         roi_centers = centers[roi]
-        roi_normals = np.asarray(vstate.voxel_normal)[roi]
+        roi_normals = np.asarray(vstate.voxel_normal)[roi].astype(np.float64)
         order = np.argsort(np.linalg.norm(roi_centers - self.pose[:3, 3], axis=1))
+        roi_centers = roi_centers[order]
+        roi_normals = roi_normals[order]
+
+        # zero-normal ROIs (pure frontiers) get the mean direction to their
+        # free 26-neighbors, computed for ALL of them at once
+        no_normal = np.linalg.norm(roi_normals, axis=1) < 1e-6
+        if no_normal.any():
+            fdirs, fvalid = self._frontier_view_directions(
+                roi_centers[no_normal], grid, free_mask_grid
+            )
+            roi_normals[no_normal] = fdirs
+            usable = ~no_normal
+            usable[no_normal] = fvalid
+        else:
+            usable = np.ones(len(roi_centers), bool)
+        roi_centers, roi_normals = roi_centers[usable], roi_normals[usable]
 
         out = []
+        total = 0
         per_roi = 5
-        for i in order:
-            normal = roi_normals[i]
-            if np.linalg.norm(normal) < 1e-6:
-                normal = self._frontier_view_direction(
-                    roi_centers[i], grid, free_mask_grid
-                )
-                if normal is None:
-                    continue
-            pos, views = paths.select_points_within_cone(
-                roi_centers[i],
-                normal,
-                free_points,
-                pitch_angle=self.cfg.pitch_angle,
+        # nearest-first, chunked: each chunk's cone tests are ONE (C, F)
+        # broadcast (paths.cone_masks_batch) instead of C serial O(F)
+        # passes; per-ROI selection semantics (<= 5 random picks, stop at
+        # `num`) are unchanged from `plan_base.py:152-206`
+        chunk = 64
+        for c0 in range(0, len(roi_centers), chunk):
+            cc = roi_centers[c0 : c0 + chunk]
+            cn = roi_normals[c0 : c0 + chunk]
+            mask, views = paths.cone_masks_batch(
+                cc, cn, free_points, pitch_angle=self.cfg.pitch_angle
             )
-            if len(pos) == 0:
-                continue
-            if len(pos) > per_roi:
-                sel = self.rng.choice(len(pos), per_roi, replace=False)
-                pos, views = pos[sel], views[sel]
-            ts = np.tile(np.eye(4), (len(pos), 1, 1))
-            ts[:, :3, 3] = pos
-            ts[:, :3, :3] = paths.rotation_from_z(views)
-            out.append(ts)
-            if sum(len(o) for o in out) >= num:
+            for i in range(len(cc)):
+                hit = np.flatnonzero(mask[i])
+                if len(hit) == 0:
+                    continue
+                if len(hit) > per_roi:
+                    hit = hit[self.rng.choice(len(hit), per_roi, replace=False)]
+                ts = np.tile(np.eye(4), (len(hit), 1, 1))
+                ts[:, :3, 3] = free_points[hit]
+                ts[:, :3, :3] = paths.rotation_from_z(views[i, hit])
+                out.append(ts)
+                total += len(hit)
+                if total >= num:
+                    break
+            if total >= num:
                 break
         if not out:
             return np.zeros((0, 4, 4), np.float32)
         return np.concatenate(out)[:num].astype(np.float32)
 
-    def _frontier_view_direction(self, point, grid, free_mask_grid):
-        """Mean direction to free neighbors for frontier ROIs
-        (`check_visible_direction`, `voxel_map.py:294-322`)."""
-        idx = np.floor(
-            (point - np.asarray(grid.bbox_min)) / np.asarray(grid.size)
-        ).astype(int)
-        dirs = []
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                for oz in (-1, 0, 1):
-                    if not (ox or oy or oz):
-                        continue
-                    nb = idx + (ox, oy, oz)
-                    if np.any(nb < 0) or np.any(nb >= grid.dim):
-                        continue
-                    if free_mask_grid[tuple(nb)]:
-                        c = np.asarray(grid.bbox_min) + (nb + 0.5) * np.asarray(
-                            grid.size
-                        )
-                        d = c - point
-                        dirs.append(d / np.linalg.norm(d))
-        if not dirs:
-            return None
-        mean = np.mean(dirs, axis=0)
-        n = np.linalg.norm(mean)
-        return None if n < 1e-8 else mean / n
+    def _frontier_view_directions(self, points, grid, free_mask_grid):
+        """Mean direction to free 26-neighbors for a BATCH of frontier ROIs
+        (`check_visible_direction`, `voxel_map.py:294-322`), vectorized.
+        Returns (dirs (R, 3), valid (R,)); dirs rows with valid=False are 0."""
+        points = np.atleast_2d(points)
+        bbox_min = np.asarray(grid.bbox_min)
+        size = np.asarray(grid.size)
+        dim = np.asarray(grid.dim)
+        idx = np.floor((points - bbox_min) / size).astype(int)  # (R, 3)
+        offs = np.array(
+            [
+                (ox, oy, oz)
+                for ox in (-1, 0, 1)
+                for oy in (-1, 0, 1)
+                for oz in (-1, 0, 1)
+                if ox or oy or oz
+            ]
+        )  # (26, 3)
+        nb = idx[:, None, :] + offs[None]  # (R, 26, 3)
+        in_bounds = ((nb >= 0) & (nb < dim)).all(axis=-1)
+        nb_c = np.clip(nb, 0, dim - 1)
+        free = free_mask_grid[nb_c[..., 0], nb_c[..., 1], nb_c[..., 2]] & in_bounds
+        c = bbox_min + (nb + 0.5) * size  # (R, 26, 3)
+        d = c - points[:, None, :]
+        d /= np.clip(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12, None)
+        mean = (d * free[..., None]).sum(axis=1) / np.clip(
+            free.sum(axis=1)[:, None], 1, None
+        )
+        n = np.linalg.norm(mean, axis=-1)
+        valid = free.any(axis=1) & (n >= 1e-8)
+        dirs = np.where(valid[:, None], mean / np.clip(n[:, None], 1e-12, None), 0.0)
+        return dirs, valid
 
     # ---- scoring (`cal_view_scores`, `plan_base.py:216-233`) ----
 

@@ -107,6 +107,25 @@ class TestPaths:
         expect = -pos / d[:, None]
         np.testing.assert_allclose(views, expect, atol=1e-6)
 
+    def test_cone_masks_batch_matches_single(self):
+        """The vectorized (R, F) cone test must reproduce the per-ROI
+        single-point version exactly (it replaced the serial loop in
+        generate_roi_candidates, VERDICT r4 weak #5)."""
+        rng = np.random.default_rng(2)
+        free = rng.uniform(-3, 3, (400, 3))
+        points = rng.uniform(-1, 1, (7, 3))
+        normals = rng.normal(size=(7, 3))
+        for pitch in (None, 0.25):
+            mask, views = paths.cone_masks_batch(
+                points, normals, free, pitch_angle=pitch
+            )
+            for i in range(len(points)):
+                pos_s, views_s = paths.select_points_within_cone(
+                    points[i], normals[i], free, pitch_angle=pitch
+                )
+                np.testing.assert_array_equal(free[mask[i]], pos_s)
+                np.testing.assert_allclose(views[i][mask[i]], views_s, atol=1e-12)
+
 
 class TestGraph:
     def test_update_tracking_and_edges(self):
