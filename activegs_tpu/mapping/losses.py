@@ -75,7 +75,11 @@ W_TV = 0.1
 def total_from_view_terms(rgb_t, depth_t, cons_t, tv_t):
     """The 4-term total of `gaussian_map.py:119-124` from per-view scalar
     terms (each (V,), already meaned within its view — equal view sizes
-    make the view-mean-of-means identical to the stacked-batch mean)."""
+    make the view-mean-of-means identical to the stacked-batch mean).
+
+    REFERENCE FORM: the train step folds these weights into two per-view
+    reductions (`trainer._view_loss`) for fewer ops; equality is pinned by
+    tests/test_mapping.py::test_view_loss_matches_unfused_terms."""
     return (
         jnp.mean(rgb_t)
         + W_DEPTH * jnp.mean(depth_t)

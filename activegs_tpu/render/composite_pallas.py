@@ -771,19 +771,18 @@ composite_tiled.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_stats(
-    entries, tile_start, tile_len, pixel_mask, num_tiles, ntx, cfg, weight_thres,
-    tpv=None,
+    entries, tile_start, tile_len, pixel_mask, num_tiles, ntx, cfg, weight_thres
 ):
     """Per-entry importance/count replay (`count`/`importance` outputs of the
     CUDA rasterizer, used by `gaussian_map.py:193-232`). pixel_mask:
     (T, 8, P) f32 (row 0 = render mask; padded rows for tiling). Returns
-    (importance (1, E), count (1, E)). tpv batches concatenated views onto
-    one grid (see composite_tiled)."""
+    (importance (1, E), count (1, E)). Single-view grids only: the batched
+    multi-view (tpv) form exists for fwd/bwd (composite_tiled, used by
+    renderer.render_views_batched) but stats has no batched caller — grow
+    the parameter back WITH a parity test if one appears."""
     interpret = _use_interpret(cfg)
-    if tpv == num_tiles:
-        tpv = None
     kernel = functools.partial(
-        _stats_kernel, ntx=ntx, cfg=cfg, approx=not interpret, tpv=tpv
+        _stats_kernel, ntx=ntx, cfg=cfg, approx=not interpret
     )
     thres = jnp.full((1, 1), weight_thres, jnp.float32)
     mask_blk = (1, 8, cfg.tile_pixels)

@@ -518,10 +518,12 @@ def render_views_batched(
     IDLE source. Kept as a tested option (MapConfig.fused_view_kernel);
     candidate batches with no backward may still profit — measure first.
 
-    Per-view results are identical to `render_view` (same per-tile programs,
-    same chunk boundaries); only dispatch structure and the tile->image
-    relayout (now one op) change. Returns (RenderOutput with leading V axis,
-    aux with stacked num_dropped)."""
+    Per-view RenderOutput images are identical to `render_view` (same
+    per-tile programs, same chunk boundaries); only dispatch structure and
+    the tile->image relayout (now one op) change. REDUCED aux contract:
+    only `num_dropped` (stacked over views) — `in_view`, `radius` and
+    `transmittance` are not carried, so this is NOT a drop-in replacement
+    for callers that read those (use render_view per view instead)."""
     v = len(attrs_per_view)
     h, w = image_shape
     num_tiles, kntx = _kernel_static(image_shape, cfg)

@@ -209,8 +209,10 @@ class BoxRoomSimulator(SimulatorBase):
         self.tri_v = jnp.asarray(verts[faces])  # (M, 3, 3)
         self.tri_mat = jnp.asarray(mats)
         self.bbox = np.stack([verts.min(0), verts.max(0)])
-        # optional synthetic "missing surface" horizontal band on walls, to
-        # exercise the has_missing_surface planner path
+        # optional synthetic "missing surface" horizontal height band: ANY
+        # hit whose world z lies in [z0, z1] is dropped (walls, furniture —
+        # whatever the band crosses), exercising the has_missing_surface
+        # planner path
         self.missing_band = missing_band
         self.has_missing_surface = missing_band is not None
 
