@@ -8,6 +8,8 @@ RGB-D along the executed trajectory into a TSDF and extract/score the mesh.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,21 @@ from ..mapping import gaussians as gm
 from ..render.renderer import render_view
 from ..render.types import Camera, RasterConfig
 from . import metrics, tsdf
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "shape", "raster_cfg"))
+def _render_and_integrate(state, attrs, extrinsic, intrinsic, grid, shape, raster_cfg):
+    """One TSDF-fusion step. `attrs` is an ARGUMENT, not a closure capture:
+    a closed-over device array becomes an HLO constant, so every snapshot's
+    mesh pass would be a distinct program — and on this stack every new
+    jitted program pays a 30-100 s remote compile (CLAUDE.md)."""
+    out, _ = render_view(
+        attrs,
+        Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+        shape,
+        raster_cfg,
+    )
+    return tsdf.integrate(state, grid, out.rgb, out.depth[0], extrinsic, intrinsic)
 
 
 def generate_mesh(
@@ -40,27 +57,52 @@ def generate_mesh(
         bbox = (means.min(0) - 0.1, means.max(0) + 0.1)
     grid = tsdf.TSDFGrid.create(bbox, voxel=voxel, trunc=trunc)
     state = tsdf.init_state(grid)
-    attrs = gm.attrs_of(gm_state, map_cfg)
+    # render on the live-prefix capacity bucket (exact: live gaussians fill
+    # [0, count)) so per-index render costs scale with the map, not the
+    # full static capacity — and so snapshots of similar size share one
+    # compiled program
+    bucket = gm.bucket_capacity(n, map_cfg.capacity)
+    attrs = gm.attrs_of(gm.slice_state(gm_state, bucket), map_cfg)
     shape = (resolution, resolution)
 
-    @jax.jit
-    def render_and_integrate(state, extrinsic, intrinsic):
-        out, _ = render_view(
+    for extrinsic, intrinsic in camera_params:
+        state = _render_and_integrate(
+            state,
             attrs,
-            Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+            jnp.asarray(extrinsic),
+            jnp.asarray(intrinsic),
+            grid,
             shape,
             raster_cfg,
         )
-        return tsdf.integrate(
-            state, grid, out.rgb, out.depth[0], extrinsic, intrinsic
-        )
-
-    for extrinsic, intrinsic in camera_params:
-        state = render_and_integrate(
-            state, jnp.asarray(extrinsic), jnp.asarray(intrinsic)
-        )
     verts, faces, colors = tsdf.extract_mesh(state, grid)
     return tsdf.filter_isolated(verts, faces, colors, min_tris=min_cluster_tris)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "raster_cfg"))
+def _score_view(attrs, bg, extrinsic, intrinsic, rgb_gt, depth_gt, shape, raster_cfg):
+    """Render ONE map at ONE test pose and score it — one dispatch per
+    (pose, map) instead of the eager per-op round-trips of the naive loop
+    (~30 ms/dispatch through the axon tunnel). Returns
+    (psnr, ssim, depth_mse, perceptual, rgb_pred); rgb_pred feeds the
+    optional host-side LPIPS when its weights exist locally."""
+    from ..core.image_ops import ssim as _ssim_jnp
+
+    out, _ = render_view(
+        attrs,
+        Camera(extrinsic=extrinsic, intrinsic=intrinsic),
+        shape,
+        raster_cfg,
+        background=bg,
+    )
+    rgb_pred = jnp.clip(out.rgb, 0.0, 1.0)
+    valid = (depth_gt > 0).astype(jnp.float32)
+    mse = jnp.mean((rgb_pred - rgb_gt) ** 2)
+    psnr = -10.0 * jnp.log10(mse + 1e-8)
+    ssim = _ssim_jnp(rgb_pred[None], rgb_gt[None])
+    depth_mse = jnp.mean(((out.depth - depth_gt) * valid) ** 2)
+    perceptual = metrics.perceptual_distance(rgb_pred, rgb_gt)
+    return psnr, ssim, depth_mse, perceptual, rgb_pred
 
 
 class EvaluationTool:
@@ -95,33 +137,51 @@ class EvaluationTool:
             perceptual = np.zeros(n_maps)
             depth_mse = np.zeros(n_maps)
 
+            # slice every snapshot to ONE shared capacity bucket (the max
+            # over snapshots) so all (pose, map) scorings run through a
+            # single compiled program — per-snapshot buckets would each pay
+            # a remote compile, and the full static capacity would pay
+            # per-index render costs for dead slots
+            bucket = max(
+                gm.bucket_capacity(int(state.count), cfg.capacity)
+                for state, cfg in self.maps
+            )
             renderers = [
-                (gm.attrs_of(state, cfg), jnp.asarray(cfg.background))
+                (
+                    gm.attrs_of(gm.slice_state(state, bucket), cfg),
+                    jnp.asarray(cfg.background),
+                )
                 for state, cfg in self.maps
             ]
+            want_lpips = metrics.lpips_available()
 
             for pose in self.test_poses:
                 frame = self.gt_provider.simulate(pose, require_gt=True)
-                rgb_gt = frame["rgb"]
-                depth_gt = frame["depth"]
-                valid = (depth_gt > 0).astype(jnp.float32)
+                rgb_gt = jnp.asarray(frame["rgb"])
+                depth_gt = jnp.asarray(frame["depth"])
                 h, w = rgb_gt.shape[-2:]
-                cam = Camera(
-                    extrinsic=frame["extrinsic"], intrinsic=frame["intrinsic"]
-                )
                 for i, (attrs, bg) in enumerate(renderers):
-                    out_i, _ = render_view(
-                        attrs, cam, (h, w), self.raster_cfg, background=bg
+                    p, s, d, pc, rgb_pred = _score_view(
+                        attrs,
+                        bg,
+                        jnp.asarray(frame["extrinsic"]),
+                        jnp.asarray(frame["intrinsic"]),
+                        rgb_gt,
+                        depth_gt,
+                        (int(h), int(w)),
+                        self.raster_cfg,
                     )
-                    rgb_pred = jnp.clip(out_i.rgb, 0.0, 1.0)
-                    psnr[i] += metrics.cal_psnr(rgb_pred, rgb_gt)
-                    ssim[i] += metrics.cal_ssim(rgb_pred, rgb_gt)
-                    lp = metrics.cal_lpips(np.asarray(rgb_pred), np.asarray(rgb_gt))
-                    if lp is not None:
-                        lpips[i] += lp
-                        lpips_n[i] += 1
-                    perceptual[i] += metrics.cal_perceptual(rgb_pred, rgb_gt)
-                    depth_mse[i] += metrics.cal_mse(out_i.depth, depth_gt, valid)
+                    psnr[i] += float(p)
+                    ssim[i] += float(s)
+                    depth_mse[i] += float(d)
+                    perceptual[i] += float(pc)
+                    if want_lpips:
+                        lp = metrics.cal_lpips(
+                            np.asarray(rgb_pred), np.asarray(rgb_gt)
+                        )
+                        if lp is not None:
+                            lpips[i] += lp
+                            lpips_n[i] += 1
 
             v = len(self.test_poses)
             out["mean_psnr"] = (psnr / v).tolist()

@@ -79,21 +79,24 @@ _perc_params = None
 def _perceptual_features(x: jnp.ndarray):
     """3-stage fixed-random-conv feature pyramid (NCHW, stride 2, ReLU).
 
-    Weights are drawn once from PRNGKey(0) with He scaling — random-filter
-    feature distances are a documented reasonable proxy for learned
-    perceptual metrics, and need no downloaded weights."""
+    Weights are fixed He-scaled draws from a seeded NUMPY rng (not
+    jax.random: this helper is traced inside the jitted eval scorer, and a
+    lazily-created jax array would leak a tracer into the module global) —
+    random-filter feature distances are a documented reasonable proxy for
+    learned perceptual metrics, and need no downloaded weights."""
     global _perc_params
     import jax
 
     if _perc_params is None:
-        key = jax.random.PRNGKey(0)
+        rng = np.random.default_rng(0)
         dims = [(3, 16), (16, 32), (32, 64)]
-        ws = []
-        for cin, cout in dims:
-            key, k = jax.random.split(key)
-            w = jax.random.normal(k, (cout, cin, 3, 3)) * np.sqrt(2.0 / (cin * 9))
-            ws.append(w)
-        _perc_params = ws
+        _perc_params = [
+            np.asarray(
+                rng.normal(size=(cout, cin, 3, 3)) * np.sqrt(2.0 / (cin * 9)),
+                np.float32,
+            )
+            for cin, cout in dims
+        ]
     feats = []
     for w in _perc_params:
         x = jax.lax.conv_general_dilated(
@@ -107,6 +110,17 @@ def _perceptual_features(x: jnp.ndarray):
     return feats
 
 
+def perceptual_distance(rgb_pred: jnp.ndarray, rgb_gt: jnp.ndarray) -> jnp.ndarray:
+    """jnp core of `cal_perceptual` (traceable: returns a scalar array, so
+    the evaluation harness can fuse it into its jitted per-view scorer)."""
+    p = jnp.asarray(rgb_pred, jnp.float32)[None]
+    g = jnp.asarray(rgb_gt, jnp.float32)[None]
+    fp = _perceptual_features(jnp.clip(p, 0, 1))
+    fg = _perceptual_features(jnp.clip(g, 0, 1))
+    d = [jnp.mean(jnp.sum((a - b) ** 2, axis=1)) for a, b in zip(fp, fg)]
+    return sum(d) / len(d)
+
+
 def cal_perceptual(rgb_pred, rgb_gt) -> float:
     """Self-contained perceptual distance: mean squared distance between
     channel-normalized fixed-random-conv features, averaged over 3 scales.
@@ -116,12 +130,17 @@ def cal_perceptual(rgb_pred, rgb_gt) -> float:
     eval JSONs always carry a perceptual channel. NOT numerically
     comparable to published LPIPS values — use it for relative comparisons
     between runs of this framework only."""
-    p = jnp.asarray(rgb_pred, jnp.float32)[None]
-    g = jnp.asarray(rgb_gt, jnp.float32)[None]
-    fp = _perceptual_features(jnp.clip(p, 0, 1))
-    fg = _perceptual_features(jnp.clip(g, 0, 1))
-    d = [jnp.mean(jnp.sum((a - b) ** 2, axis=1)) for a, b in zip(fp, fg)]
-    return float(sum(d) / len(d))
+    return float(perceptual_distance(rgb_pred, rgb_gt))
+
+
+def lpips_available() -> bool:
+    """True when the AlexNet LPIPS weights exist locally (no egress on this
+    machine — usually False; see `cal_lpips`)."""
+    import glob
+    import os
+
+    hub_dir = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+    return bool(glob.glob(os.path.join(hub_dir, "alexnet*")))
 
 
 # ---------------------------------------------------------------------------

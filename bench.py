@@ -41,12 +41,14 @@ padded pairs for -21% chunk count — a wash by both cost models);
 explicit approx-reciprocal+NR landed +1% (r4: 55.6 -> 56.2).
 
 Per-chip ceiling GIVEN this measured structure: kernels ~20.5 + gathers
-5.4 + irreducible glue ~3 = ~29 ms/step = ~72 Mrays/s. Current 56.8
-Mrays/s (37.0 ms/step) sits 1.27x off that ceiling, the residual
-itemized above (loss tail / IDLE / relayouts). The 2.0e8 vs_baseline
-constant is the cross-architecture CUDA-class reference, NOT this
-per-chip ceiling; the TPU-native scale axis is the view/candidate mesh
-(bench.py --scaling).
+5.4 + irreducible glue ~3 = ~29 ms/step = ~72 Mrays/s. The committed
+round-4 driver artifact is 55.1 Mrays/s (BENCH_r04.json) — the repo's
+headline number; in-session runs of identical code spread ~+-3%
+(54.3-56.8 observed, BASELINE.md), so the step sits 1.25-1.3x off the
+ceiling, the residual itemized above (loss tail / IDLE / relayouts).
+The 2.0e8 vs_baseline constant is the cross-architecture CUDA-class
+reference, NOT this per-chip ceiling; the TPU-native scale axis is the
+view/candidate mesh (bench.py --scaling).
 
 Prints ONE JSON line.
 """

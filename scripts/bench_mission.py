@@ -14,9 +14,19 @@ reuse is the only truly warm state; early steps also climb the capacity
 bucket ladder, each rung a new program). Run once after any edit to warm
 the cache, then trust the second run's numbers.
 
+`prewarm=1` (default) absorbs executable loads BEFORE the measured steps by
+running a throwaway unrecorded mission in the same process (VERDICT r4
+weak #2: load seconds otherwise land on random measured steps, making the
+artifact irreproducible run-to-run). The report carries MEDIANS and
+percentiles next to the mean, plus the spike steps (prune/new-bucket), so
+round-over-round comparisons track the typical keyframe, not the spikes.
+
+Target (BASELINE.md): mapping median <= 2.5 s/keyframe + planning <= 1.5
+s/step at 512^2, ~400k surfels, fully warm.
+
 Prints ONE JSON line; commit the output as BENCH_MISSION_r{N}.json.
 
-    python scripts/bench_mission.py [steps=10] [out=experiments/...]
+    python scripts/bench_mission.py [steps=30] [prewarm=1] [out=experiments/...]
 """
 
 from __future__ import annotations
@@ -42,8 +52,20 @@ def main():
     from activegs_tpu.io.recorder import MissionRecorder
 
     argd = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
-    steps = int(argd.pop("steps", 10))
+    steps = int(argd.pop("steps", 30))
     out = argd.pop("out", None)
+    prewarm = int(argd.pop("prewarm", 1))
+
+    if prewarm:
+        # throwaway mission: pays every executable load/compile up the
+        # bucket ladder once, so the measured mission below runs warm
+        print(f" prewarm mission ({max(steps, 20)} steps)...", file=sys.stderr)
+        wcfg = load_config("main", [f"{k}={v}" for k, v in argd.items()])
+        wmapper, _, _, _ = build_mission(wcfg)
+        wmapper.init_map()
+        for _ in range(max(steps, 20)):
+            wmapper.step()
+        del wmapper
 
     cfg = load_config("main", [f"{k}={v}" for k, v in argd.items()])
     mapper, simulator, planner, comp = build_mission(cfg)
@@ -66,15 +88,32 @@ def main():
 
     steady = [s for s in all_stats if s["frame_id"] >= STEADY_FROM]
     mean = lambda xs: float(np.mean(xs)) if xs else None
+    med = lambda xs: float(np.median(xs)) if xs else None
+    pct = lambda xs, q: float(np.percentile(xs, q)) if xs else None
     phases = sorted({k for s in steady for k in s["phase_times"]})
     plan_phases = sorted({k for s in steady for k in s["plan_times"]})
+    t_map = [s["t_mapping"] for s in steady]
+    # spikes: prune/new-bucket steps (loads, the 8-keyframe stats renders) —
+    # annotated so the headline median tracks the typical keyframe
+    spike_steps = [
+        s["frame_id"] for s in steady if s["t_mapping"] > 2.0 * med(t_map)
+    ]
     result = {
         "metric": "mission_s_per_keyframe",
-        "value": mean([s["t_mapping"] for s in steady]),
-        "unit": "s/keyframe (mapping, steady-state)",
+        "value": med(t_map),
+        "unit": "s/keyframe (mapping, steady-state median)",
+        "mean": round(mean(t_map), 3),
+        "p10": round(pct(t_map, 10), 3),
+        "p90": round(pct(t_map, 90), 3),
+        "spike_steps": spike_steps,
+        "prewarmed": bool(prewarm),
         "steady_steps": [s["frame_id"] for s in steady],
         "phase_s": {
             k: round(mean([s["phase_times"].get(k, 0.0) for s in steady]), 3)
+            for k in phases
+        },
+        "phase_s_median": {
+            k: round(med([s["phase_times"].get(k, 0.0) for s in steady]), 3)
             for k in phases
         },
         # utility_stats/utility_batch are SUB-phases of "utility" (see
@@ -82,6 +121,20 @@ def main():
         # or planning_s would double-count them
         "planning_s": round(
             mean(
+                [
+                    sum(
+                        v
+                        for k, v in s["plan_times"].items()
+                        if not k.startswith("utility_")
+                    )
+                    for s in steady
+                ]
+            )
+            or 0.0,
+            3,
+        ),
+        "planning_s_median": round(
+            med(
                 [
                     sum(
                         v
